@@ -1,0 +1,240 @@
+"""Batched programmable bootstrap: the TPU compute path.
+
+Pipeline (KS -> PBS order, mirroring tfhe-rs ``*_KS_PBS`` presets used by the
+reference, src/main.rs:3):
+
+    LWE(big key, k*N)  --keyswitch-->  LWE(small key, n)
+                       --modswitch-->  Z_{2N} coefficients
+                       --blind rotate--> GLWE accumulator  (the hot loop)
+                       --sample extract--> LWE(big key) of table[m]
+
+All torus arithmetic is exact u64-on-2xuint32 (``torus.py``); every
+polynomial product in the blind rotation is an exact integer negacyclic
+convolution evaluated as int8-limb matmuls with int32 accumulation — these
+contractions are what the MXU executes.  There is no FFT and therefore no
+transform noise (unlike tfhe-rs's f64 FFT; see SURVEY.md section 6).
+
+The batch axis B (string positions x blocks x parallel ops) is the
+MXU-saturation and multi-chip sharding axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import torus
+from ..params import CryptoParams
+from ..torus import U64
+from .keys import DeviceServerKeys
+
+
+# ---------------------------------------------------------------------------
+# Gadget decomposition (device)
+# ---------------------------------------------------------------------------
+
+def decompose(v: U64, base_log: int, levels: int) -> jnp.ndarray:
+    """Balanced signed decomposition; returns int32 [levels, ...] (level 0 =
+    most significant), matching numpy_ref.decompose bit-exactly."""
+    shift = 64 - base_log * levels
+    state = torus.round_shr(v, shift) if shift > 0 else v
+    base = 1 << base_log
+    half = base >> 1
+    digits = [None] * levels
+    for lev in range(levels - 1, -1, -1):
+        d = (state.lo & jnp.uint32(base - 1)).astype(jnp.int32)
+        state = torus.shr(state, base_log)
+        carry = (d >= half).astype(jnp.int32)
+        d = d - carry * base
+        state = torus.add(state, U64(carry.astype(jnp.uint32), jnp.zeros_like(state.hi)))
+        digits[lev] = d
+    return jnp.stack(digits)
+
+
+def balanced_limbs_i32(d: jnp.ndarray, num_limbs: int) -> jnp.ndarray:
+    """Split signed int32 digits into balanced int8 limbs: [..., num_limbs]."""
+    out = []
+    state = d
+    for _ in range(num_limbs):
+        l = ((state + 128) & 255) - 128
+        out.append(l.astype(jnp.int8))
+        state = (state - l) >> 8
+    return jnp.stack(out, axis=-1)
+
+
+def recombine_planes(planes: jnp.ndarray) -> U64:
+    """sum_s planes[..., s] * 256**s (mod 2**64); planes: int32 [..., 8]."""
+    acc = torus.zeros(planes.shape[:-1])
+    for s in range(planes.shape[-1]):
+        v = torus.from_int32(planes[..., s])
+        acc = torus.add(acc, torus.shl(v, 8 * s))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Keyswitch (big key -> small key)
+# ---------------------------------------------------------------------------
+
+def keyswitch(ct: U64, keys: DeviceServerKeys) -> U64:
+    """ct: U64 [B, kN+1] -> U64 [B, n+1]."""
+    p = keys.params
+    kn = p.big_lwe_dimension
+    a = U64(ct.lo[:, :kn], ct.hi[:, :kn])
+    b = U64(ct.lo[:, kn], ct.hi[:, kn])
+
+    digits = decompose(a, p.ks_base_log, p.ks_level)  # [lev, B, kN] int32
+    # K-order must match keys.ksk_limbs: (i, lev) row-major.
+    d = jnp.transpose(digits, (1, 2, 0)).astype(jnp.int8)  # [B, kN, lev]
+    d = d.reshape(d.shape[0], kn * p.ks_level)
+
+    planes = jax.lax.dot(d, keys.ksk_limbs, preferred_element_type=jnp.int32)
+    planes = planes.reshape(d.shape[0], p.lwe_dimension + 1, 8)
+    acc = recombine_planes(planes)  # U64 [B, n+1]
+
+    out = torus.neg(acc)
+    out_lo = out.lo.at[:, -1].add(b.lo)
+    carry = (out_lo[:, -1] < out.lo[:, -1]).astype(jnp.uint32)
+    out_hi = out.hi.at[:, -1].add(b.hi + carry)
+    return U64(out_lo, out_hi)
+
+
+# ---------------------------------------------------------------------------
+# Modswitch
+# ---------------------------------------------------------------------------
+
+def modswitch(ct: U64, p: CryptoParams) -> jnp.ndarray:
+    """U64 [..., n+1] -> int32 in [0, 2N)."""
+    two_n_log = (2 * p.polynomial_size).bit_length() - 1
+    sh = 32 - two_n_log
+    r = (ct.hi >> jnp.uint32(sh)) + ((ct.hi >> jnp.uint32(sh - 1)) & jnp.uint32(1))
+    return (r & jnp.uint32(2 * p.polynomial_size - 1)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Blind rotation
+# ---------------------------------------------------------------------------
+
+def _negacyclic_rotate(acc: U64, amounts: jnp.ndarray, n_poly: int) -> U64:
+    """acc: U64 [B, C, N]; amounts int32 [B] in [0, 2N): acc * X^amounts."""
+    doubled = torus.concatenate([acc, torus.neg(acc)], axis=-1)  # [B, C, 2N]
+    t = jnp.arange(n_poly, dtype=jnp.int32)
+    idx = (t[None, :] - amounts[:, None]) & (2 * n_poly - 1)  # [B, N]
+    idx = idx[:, None, :].astype(jnp.int32)
+    idx = jnp.broadcast_to(idx, (acc.lo.shape[0], acc.lo.shape[1], n_poly))
+    return torus.gather_last(doubled, idx)
+
+
+def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
+                                 p: CryptoParams) -> U64:
+    """acc += GGSW_j (x) diff.   diff: U64 [B, k+1, N]; bsk_j int8
+    [R, k+1, 8, 2N] (doubled limb planes)."""
+    N = p.polynomial_size
+    kp1 = p.glwe_dimension + 1
+    ell = p.pbs_level
+    B = diff.lo.shape[0]
+
+    digits = decompose(diff, p.pbs_base_log, ell)  # [ell, B, k+1, N]
+    # R-order (r*ell + lev) to match the BSK row layout.
+    d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, kp1 * ell, N)
+    num_digit_limbs = (p.pbs_base_log + 8) // 8  # |digit| <= 2^(base_log-1)
+    dl = balanced_limbs_i32(d, num_digit_limbs)  # [B, R, N, La] int8
+
+    # RHS: negacyclic matrices of each BSK poly limb plane, via gather from
+    # the doubled polys: M[c, t] = p2[(t - c) mod 2N].
+    t = jnp.arange(N, dtype=jnp.int32)
+    c = jnp.arange(N, dtype=jnp.int32)
+    idx = (t[None, :] - c[:, None]) & (2 * N - 1)  # [N, N]
+    mats = jnp.take(bsk_j, idx, axis=-1)  # [R, k+1, 8, N, N]
+
+    planes = jnp.zeros((B, kp1, 8, N), jnp.int32)
+    for la in range(num_digit_limbs):
+        for lb in range(8):
+            s = la + lb
+            if s >= 8:
+                continue
+            contrib = jnp.einsum(
+                "brn,rcnt->bct", dl[..., la], mats[:, :, lb],
+                preferred_element_type=jnp.int32,
+            )
+            planes = planes.at[:, :, s, :].add(contrib)
+
+    ext = recombine_planes(jnp.moveaxis(planes, 2, -1))  # U64 [B, k+1, N]
+    return torus.add(acc, ext)
+
+
+def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys) -> U64:
+    """acc: U64 [B, k+1, N]; lwe_2n: int32 [B, n+1]. Sequential over the n
+    LWE coefficients (the inherently serial axis); throughput comes from B."""
+    p = keys.params
+    N = p.polynomial_size
+
+    b = lwe_2n[:, -1]
+    acc = _negacyclic_rotate(acc, (2 * N - b) & (2 * N - 1), N)
+
+    def step(j, acc):
+        a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
+        bsk_j = jax.lax.dynamic_slice_in_dim(keys.bsk_limbs, j, 1, axis=0)[0]
+        rotated = _negacyclic_rotate(acc, a_j, N)
+        diff = torus.sub(rotated, acc)
+        return _external_product_accumulate(acc, diff, bsk_j, p)
+
+    return jax.lax.fori_loop(0, p.lwe_dimension, step, acc)
+
+
+# ---------------------------------------------------------------------------
+# Sample extraction
+# ---------------------------------------------------------------------------
+
+def sample_extract(acc: U64, p: CryptoParams) -> U64:
+    """U64 [B, k+1, N] -> LWE U64 [B, kN+1] (coefficient 0)."""
+    k, N = p.glwe_dimension, p.polynomial_size
+
+    def extract_plane(plane):  # [B, k+1, N] uint32 -> [B, kN+1] pieces
+        mask = plane[:, :k, :]
+        first = mask[:, :, :1]
+        rest = jnp.flip(mask[:, :, 1:], axis=-1)
+        return first, rest, plane[:, k, 0]
+
+    lo_f, lo_r, lo_b = extract_plane(acc.lo)
+    hi_f, hi_r, hi_b = extract_plane(acc.hi)
+    rest = torus.neg(U64(lo_r, hi_r))
+    a = torus.concatenate([U64(lo_f, hi_f), rest], axis=-1)  # [B, k, N]
+    a = torus.reshape(a, (a.lo.shape[0], k * N))
+    b = U64(lo_b[:, None], hi_b[:, None])
+    return torus.concatenate([a, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Full PBS
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
+              keys: DeviceServerKeys) -> U64:
+    """Apply per-item LUTs to a batch of big-key LWE ciphertexts.
+
+    ct: U64 [B, kN+1]; lut_idx: int32 [B] into lut_bank U64 [L, 2N].
+    Returns U64 [B, kN+1] encrypting table[m] with fresh PBS noise.
+    """
+    p = keys.params
+    N = p.polynomial_size
+    B = ct.lo.shape[0]
+
+    small = keyswitch(ct, keys)
+    lwe_2n = modswitch(small, p)
+
+    # Init accumulator: body = testpoly * X^{-b}, via gather from the doubled
+    # LUT polynomials; masks start at zero.
+    b = lwe_2n[:, -1]
+    t = jnp.arange(N, dtype=jnp.int32)
+    idx = (t[None, :] + b[:, None]) & (2 * N - 1)  # [B, N]
+    sel = U64(lut_bank.lo[lut_idx], lut_bank.hi[lut_idx])  # [B, 2N]
+    body = torus.gather_last(sel, idx)  # [B, N]
+    zeros_mask = torus.zeros((B, p.glwe_dimension, N))
+    acc = torus.concatenate(
+        [zeros_mask, torus.reshape(body, (B, 1, N))], axis=1
+    )
+
+    lwe_nob = jnp.concatenate([lwe_2n[:, :-1], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    acc = blind_rotate(acc, lwe_nob, keys)
+    return sample_extract(acc, p)

@@ -1,0 +1,177 @@
+"""Shortint layer: 2-bit-message blocks with LUT-based evaluation.
+
+Mirrors the role of tfhe-rs's shortint module for the
+``PARAM_MESSAGE_2_CARRY_2`` encoding the reference relies on
+(message_modulus=4, carry_modulus=4, reference src/main.rs:3,22-23): each
+block holds a value in [0, 16) (2 message bits + 2 carry bits + padding bit),
+linear operations are free (noise-additive), and any function on packed
+values in [0, 16) costs one programmable bootstrap.
+
+The container tracks ``degree`` (max possible plaintext value) and
+``noise_var`` (variance in fresh-PBS units) statically, so packing safety
+(degree <= 15, noise within budget) is asserted at trace time — the same
+bookkeeping tfhe-rs does dynamically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import torus
+from .crypto.keys import DeviceServerKeys, pack_luts
+from .crypto.pbs import pbs_batch
+from .params import CryptoParams
+from .torus import U64
+
+# Packing/noise budget: a fresh PBS output has variance 1 unit; tfhe-rs 2_2
+# parameters are dimensioned for the 4x+y pack (16 + 1 = 17 units).  We allow
+# a little headroom and refresh lazily beyond it.
+MAX_NOISE_VAR = 32.0
+MAX_DEGREE = 15
+
+
+@dataclasses.dataclass
+class Blocks:
+    """A tensor of shortint blocks: ct is U64 [..., kN+1]."""
+
+    ct: U64
+    degree: int
+    noise_var: float
+
+    @property
+    def shape(self):
+        return self.ct.lo.shape[:-1]
+
+
+def _blocks_flatten(b: Blocks):
+    return (b.ct,), (b.degree, b.noise_var)
+
+
+def _blocks_unflatten(aux, children):
+    return Blocks(children[0], aux[0], aux[1])
+
+
+jax.tree_util.register_pytree_node(Blocks, _blocks_flatten, _blocks_unflatten)
+
+
+class ShortintContext:
+    """Server-side evaluator: owns device keys and a LUT cache."""
+
+    def __init__(self, keys: DeviceServerKeys):
+        self.keys = keys
+        self.params: CryptoParams = keys.params
+        self._lut_cache: dict[tuple, torus.U64] = {}
+
+    # -- constructors -------------------------------------------------------
+    def trivial(self, values) -> Blocks:
+        """Noiseless server-side constants (tfhe create_trivial_radix analog,
+        reference src/ciphertext/fheasciichar.rs:17-25)."""
+        p = self.params
+        values = np.asarray(values, dtype=np.uint64)
+        ct = np.zeros(values.shape + (p.big_lwe_dimension + 1,), dtype=np.uint64)
+        ct[..., -1] = (values % np.uint64(p.full_space)) * np.uint64(p.delta)
+        return Blocks(torus.from_numpy(ct), int(values.max()) if values.size else 0, 0.0)
+
+    def from_numpy_cts(self, cts: np.ndarray, degree: int = 3) -> Blocks:
+        return Blocks(torus.from_numpy(cts), degree, 1.0)
+
+    # -- linear algebra (no PBS) --------------------------------------------
+    def add(self, a: Blocks, b: Blocks) -> Blocks:
+        assert a.degree + b.degree <= MAX_DEGREE, (a.degree, b.degree)
+        return Blocks(torus.add(a.ct, b.ct), a.degree + b.degree,
+                      a.noise_var + b.noise_var)
+
+    def sub_from_scalar(self, scalar: int, a: Blocks) -> Blocks:
+        """scalar - a, where a.degree <= scalar (e.g. bit flip 1 - x,
+        reference src/ciphertext/fheasciichar.rs:161-168)."""
+        assert a.degree <= scalar <= MAX_DEGREE
+        enc = int(scalar) * self.params.delta
+        out = torus.neg(a.ct)
+        lo = out.lo.at[..., -1].add(jnp.uint32(enc & 0xFFFFFFFF))
+        carry = (lo[..., -1] < out.lo[..., -1]).astype(jnp.uint32)
+        hi = out.hi.at[..., -1].add(jnp.uint32(enc >> 32) + carry)
+        return Blocks(U64(lo, hi), scalar, a.noise_var)
+
+    def scalar_mul(self, a: Blocks, c: int) -> Blocks:
+        assert a.degree * c <= MAX_DEGREE
+        return Blocks(torus.mul_small(a.ct, c), a.degree * c,
+                      a.noise_var * c * c)
+
+    def add_scalar(self, a: Blocks, c: int) -> Blocks:
+        assert a.degree + c <= MAX_DEGREE
+        enc = int(c) * self.params.delta
+        lo = a.ct.lo.at[..., -1].add(jnp.uint32(enc & 0xFFFFFFFF))
+        carry = (lo[..., -1] < a.ct.lo[..., -1]).astype(jnp.uint32)
+        hi = a.ct.hi.at[..., -1].add(jnp.uint32(enc >> 32) + carry)
+        return Blocks(U64(lo, hi), a.degree + c, a.noise_var)
+
+    def sum_many(self, blocks: list[Blocks]) -> Blocks:
+        out = blocks[0]
+        for b in blocks[1:]:
+            out = self.add(out, b)
+        return out
+
+    def sum_axis(self, a: Blocks, axis: int, count: int, max_value: int) -> Blocks:
+        """Sum along an axis of known length; caller guarantees the summed
+        plaintext value never exceeds max_value <= 15."""
+        assert max_value <= MAX_DEGREE
+        ct = U64(a.ct.lo.sum(axis=axis, dtype=jnp.uint32) if False else None, None)
+        # carry-correct limb sum over the chosen axis
+        ax = axis if axis >= 0 else axis - 1  # account for trailing ct dim
+        summed = torus.sum_axis(a.ct, ax)
+        return Blocks(summed, max_value, a.noise_var * count)
+
+    # -- LUT evaluation (PBS) -------------------------------------------------
+    def _bank_for(self, tables: tuple[tuple[int, ...], ...]) -> torus.U64:
+        key = tables
+        if key not in self._lut_cache:
+            self._lut_cache[key] = pack_luts([list(t) for t in tables], self.params)
+        return self._lut_cache[key]
+
+    def apply_lut(self, a: Blocks, table) -> Blocks:
+        """Univariate LUT via one batched PBS. table: 16 ints in [0, 16)."""
+        table = tuple(int(v) % 16 for v in table)
+        assert a.noise_var <= MAX_NOISE_VAR
+        bank = self._bank_for((table,))
+        shape = a.shape
+        flat = torus.reshape(a.ct, (-1, a.ct.lo.shape[-1]))
+        idx = jnp.zeros(flat.lo.shape[0], jnp.int32)
+        out = pbs_batch(flat, idx, bank, self.keys)
+        out = torus.reshape(out, shape + (a.ct.lo.shape[-1],))
+        return Blocks(out, max(table), 1.0)
+
+    def apply_lut_multi(self, a: Blocks, tables, table_idx: jnp.ndarray) -> Blocks:
+        """Per-element LUT selection: tables [L][16], table_idx int32 a.shape."""
+        tables = tuple(tuple(int(v) % 16 for v in t) for t in tables)
+        assert a.noise_var <= MAX_NOISE_VAR
+        bank = self._bank_for(tables)
+        shape = a.shape
+        flat = torus.reshape(a.ct, (-1, a.ct.lo.shape[-1]))
+        idx = table_idx.reshape(-1).astype(jnp.int32)
+        out = pbs_batch(flat, idx, bank, self.keys)
+        out = torus.reshape(out, shape + (a.ct.lo.shape[-1],))
+        return Blocks(out, max(max(t) for t in tables), 1.0)
+
+    def apply_lut_bivariate(self, x: Blocks, y: Blocks, fn: Callable[[int, int], int]) -> Blocks:
+        """LUT over a packed pair: out = fn(x, y) with x,y in [0, msg_mod)."""
+        m = self.params.message_modulus
+        assert x.degree < m and y.degree < m, (x.degree, y.degree)
+        packed = self.add(self.scalar_mul(x, m), y)
+        table = [fn(u // m, u % m) for u in range(self.params.plaintext_space)]
+        return self.apply_lut(packed, table)
+
+    def refresh(self, a: Blocks) -> Blocks:
+        """Identity bootstrap (noise reset), degree preserved <= 3."""
+        assert a.degree <= 3
+        return self.apply_lut(a, list(range(4)) * 4)
+
+    def maybe_refresh(self, a: Blocks, incoming_var: float) -> Blocks:
+        if a.noise_var + incoming_var > MAX_NOISE_VAR:
+            return self.refresh(a)
+        return a

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: PBS throughput per chip on production parameters.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.md target of 5,000 PBS/s/chip
+(the reference publishes no numbers of its own — BASELINE.md; its per-method
+wall-clock depends on the host CPU).
+
+Usage: python bench.py [--batch 1024] [--iters 3] [--params prod]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+CACHE_DIR = os.path.expanduser("~/.cache/fhestring_tpu")
+
+
+def get_keys(params, seed=0):
+    """Generate (or load cached) client/server keys for `params`."""
+    from fhestring_tpu.numpy_ref import core as ref
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"keys_{params.name}_{seed}.npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        sk = ref.SecretKeys(params, data["lwe_sk"], data["glwe_sk"])
+        srv = ref.ServerKeys(params, data["bsk"], data["ksk"])
+        return sk, srv
+    t0 = time.time()
+    rng = np.random.default_rng(seed)
+    sk, srv = ref.keygen(params, rng)
+    print(f"# keygen took {time.time() - t0:.1f}s", file=sys.stderr)
+    np.savez(path, lwe_sk=sk.lwe_sk, glwe_sk=sk.glwe_sk, bsk=srv.bsk,
+             ksk=srv.ksk)
+    return sk, srv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--params", default="prod", choices=["prod", "test", "noisy"])
+    args = ap.parse_args()
+
+    import jax
+
+    from fhestring_tpu.compat import enable_compile_cache
+
+    enable_compile_cache()
+
+    from fhestring_tpu import params as P
+    from fhestring_tpu import torus
+    from fhestring_tpu.crypto import keys as dkeys
+    from fhestring_tpu.crypto import pbs as dpbs
+    from fhestring_tpu.numpy_ref import core as ref
+
+    params = {"prod": P.PARAM_PROD, "test": P.PARAM_TEST_ZERO_NOISE,
+              "noisy": P.PARAM_TEST_NOISY}[args.params]
+    print(f"# params={params.name} devices={jax.devices()}", file=sys.stderr)
+
+    sk, srv = get_keys(params)
+    dev = dkeys.pack_server_keys(srv)
+    bank = dkeys.pack_luts([[(3 * x + 1) % 16 for x in range(16)]], params)
+
+    B = args.batch
+    rng = np.random.default_rng(1)
+    msgs = rng.integers(0, 16, size=B)
+    cts = np.stack([ref.shortint_encrypt(sk, int(m), rng) for m in msgs])
+    dct = torus.from_numpy(cts)
+    idx = np.zeros(B, np.int32)
+
+    t0 = time.time()
+    out = dpbs.pbs_batch(dct, idx, bank, dev)
+    jax.block_until_ready(out)
+    print(f"# first call (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        out = dpbs.pbs_batch(dct, idx, bank, dev)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    pbs_per_sec = B / best
+    print(f"# best of {args.iters}: {best * 1e3:.1f} ms for B={B} "
+          f"-> {pbs_per_sec:.1f} PBS/s", file=sys.stderr)
+
+    # correctness spot check
+    table = [(3 * x + 1) % 16 for x in range(16)]
+    host = torus.to_numpy(out)
+    n_check = min(B, 16)
+    ok = all(ref.shortint_decrypt(sk, host[i]) == table[msgs[i]]
+             for i in range(n_check))
+    if not ok:
+        print(f"# WARNING: correctness check FAILED", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "pbs_throughput_per_chip",
+        "value": round(pbs_per_sec, 1),
+        "unit": "PBS/s",
+        "vs_baseline": round(pbs_per_sec / 5000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

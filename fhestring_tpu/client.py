@@ -1,0 +1,140 @@
+"""Client-side runtime: key generation, encryption, decryption (CPU).
+
+API parity with the reference's MyClientKey (src/client_key.rs:30-106):
+``from_params``, ``encrypt(string, padding)`` (appends ``padding`` NUL bytes,
+rejects non-ASCII and embedded NULs), ``encrypt_no_padding``,
+``encrypt_char``, ``decrypt`` (truncates at the first NUL),
+``decrypt_char``, ``get_server_key``, ``get_public_parameters``.
+
+All secret-key operations stay on the host CPU; only evaluation keys and
+ciphertexts ever reach the TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import torus
+from .ciphertext import FheChar, FheString, PublicParameters
+from .crypto.keys import pack_server_keys
+from .numpy_ref import core as ref
+from .params import PARAM_PROD, CryptoParams
+from .shortint import Blocks
+
+NB = 4
+
+
+class ClientKey:
+    def __init__(self, params: CryptoParams = PARAM_PROD, seed: int = 0):
+        self.params = params
+        self._rng = np.random.default_rng(seed)
+        self.secret, self._server_raw = ref.keygen(params, self._rng)
+        self.public_parameters = PublicParameters(num_blocks=params.num_blocks)
+
+    @classmethod
+    def from_params(cls, params: CryptoParams = PARAM_PROD, seed: int = 0) -> "ClientKey":
+        return cls(params, seed)
+
+    def get_server_key(self):
+        from .server import ServerKey
+
+        return ServerKey(pack_server_keys(self._server_raw), self.params)
+
+    def get_public_parameters(self) -> PublicParameters:
+        return self.public_parameters
+
+    # ---- encryption ---------------------------------------------------------
+    def _encrypt_bytes(self, data: bytes) -> Blocks:
+        """Encrypt bytes as [len, 4, kN+1] block tensor."""
+        p = self.params
+        n_ct = p.big_lwe_dimension + 1
+        out = np.zeros((len(data), NB, n_ct), dtype=np.uint64)
+        for i, byte in enumerate(data):
+            for b in range(NB):
+                val = (byte >> (2 * b)) & 3
+                out[i, b] = ref.lwe_encrypt_raw(
+                    self.secret.big_lwe_sk, ref.encode(val, p), p.glwe_noise_std,
+                    self._rng)
+        return Blocks(torus.from_numpy(out), 3, 1.0)
+
+    @staticmethod
+    def _check_ascii(string: str) -> None:
+        # reference client_key.rs:52-55 input validation
+        assert all(ord(c) < 128 and c != "\0" for c in string), (
+            "The input string must only contain ascii letters and not "
+            "include null characters"
+        )
+
+    def encrypt(self, string: str, padding: int = 1) -> FheString:
+        """Encrypt with NUL padding appended (reference client_key.rs:45-65)."""
+        self._check_ascii(string)
+        data = string.encode("ascii") + b"\0" * padding
+        return FheString(self._encrypt_bytes(data))
+
+    def encrypt_no_padding(self, string: str) -> FheString:
+        """Unpadded encryption, used for patterns (client_key.rs:67-79)."""
+        self._check_ascii(string)
+        return FheString(self._encrypt_bytes(string.encode("ascii")))
+
+    def encrypt_char(self, value: int) -> FheChar:
+        blocks = self._encrypt_bytes(bytes([value]))
+        from .torus import U64
+
+        ct = U64(blocks.ct.lo[0], blocks.ct.hi[0])
+        return FheChar(Blocks(ct, 3, 1.0))
+
+    # ---- decryption ---------------------------------------------------------
+    def _decrypt_block_values(self, blocks: Blocks) -> np.ndarray:
+        p = self.params
+        cts = torus.to_numpy(blocks.ct)  # [..., kN+1]
+        sk = self.secret.big_lwe_sk.astype(np.uint64)
+        phase = cts[..., -1] - (cts[..., :-1] * sk).sum(axis=-1, dtype=np.uint64)
+        decoded = ((phase + np.uint64(p.delta // 2)) // np.uint64(p.delta)) % np.uint64(
+            p.full_space
+        )
+        return (decoded % np.uint64(p.plaintext_space)).astype(np.int64)
+
+    def decrypt_blocks_to_bytes(self, blocks: Blocks) -> np.ndarray:
+        """[..., 4] block tensor -> [...] uint8 values."""
+        vals = self._decrypt_block_values(blocks)  # [..., 4]
+        out = np.zeros(vals.shape[:-1], dtype=np.int64)
+        for b in range(NB):
+            out += (vals[..., b] % 4) << (2 * b)
+        return (out % 256).astype(np.uint8)
+
+    def decrypt_bits(self, bits: Blocks) -> np.ndarray:
+        """Decrypt bit-valued blocks (no block axis) to a 0/1 array."""
+        return self._decrypt_block_values(bits).astype(np.uint8)
+
+    def decrypt_char(self, c: FheChar) -> int:
+        return int(self.decrypt_blocks_to_bytes(c.blocks))
+
+    def decrypt_split(self, split) -> tuple[list[str], int]:
+        """FheSplit -> (buffer strings, pattern_found), mirroring
+        FheSplit::decrypt (reference fhesplit.rs:29-40)."""
+        grid = self.decrypt_blocks_to_bytes(split.buffers)  # [n_buf, L]
+        out = []
+        for row in grid:
+            chars = bytearray()
+            for byte in row:
+                if byte == 0:
+                    break
+                chars.append(int(byte))
+            out.append(chars.decode("ascii"))
+        return out, self.decrypt_char(split.pattern_found)
+
+    def decrypt_strip(self, strip) -> tuple[str, int]:
+        """FheStrip -> (string, flag) (reference fhestrip.rs:18-23)."""
+        return self.decrypt(strip.string), self.decrypt_char(strip.pattern_found)
+
+    def decrypt(self, s: FheString) -> str:
+        """Decrypt and truncate at the first NUL (client_key.rs:89-106)."""
+        if len(s) == 0:
+            return ""
+        data = self.decrypt_blocks_to_bytes(s.blocks)
+        out = bytearray()
+        for byte in data:
+            if byte == 0:
+                break
+            out.append(int(byte))
+        return out.decode("ascii")

@@ -1,0 +1,468 @@
+"""Evaluation backends for the string engine.
+
+The string engine (engine/strings.py) is written once against a duck-typed
+backend interface operating on tensors of encrypted u8 chars ("CT") and
+encrypted 0/1 bits ("BT"); all shapes/indices are public (data-oblivious
+control flow, mirroring the reference's invariant — SURVEY.md section 1).
+
+Two implementations:
+
+- ClearBackend: plain numpy uint8.  Used to test the engine's algorithmic
+  parity against Python's str oracle quickly, and as the reference-semantics
+  executable spec.
+- FheBackend: real TFHE via RadixContext; every op lowers to batched PBS.
+
+This split mirrors how the reference separates string algorithms
+(src/server_key/) from the crypto (tfhe-rs), but makes the boundary
+swappable."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..radix import NB, RadixContext
+from ..shortint import Blocks, ShortintContext
+
+
+# =============================================================================
+# Clear (plaintext) backend
+# =============================================================================
+
+class ClearBackend:
+    """numpy-uint8 semantics: the executable spec of the engine ops."""
+
+    name = "clear"
+
+    # -- constructors / structure ------------------------------------------
+    def trivial_chars(self, values):
+        return np.asarray(values, dtype=np.uint8)
+
+    def trivial_bits(self, values):
+        return np.asarray(values, dtype=np.uint8) & np.uint8(1)
+
+    def shape(self, x):
+        return x.shape
+
+    def concat(self, xs, axis=0):
+        return np.concatenate(xs, axis=axis)
+
+    def stack(self, xs, axis=0):
+        return np.stack(xs, axis=axis)
+
+    def take(self, x, idx, axis=0):
+        return np.take(x, idx, axis=axis)
+
+    def reshape(self, x, shape):
+        return x.reshape(shape)
+
+    def broadcast_to(self, x, shape):
+        return np.broadcast_to(x, shape)
+
+    def zeros_chars(self, shape):
+        return np.zeros(shape, dtype=np.uint8)
+
+    # -- char ops -------------------------------------------------------------
+    def eq(self, x, y):
+        return (x == y).astype(np.uint8)
+
+    def ne(self, x, y):
+        return (x != y).astype(np.uint8)
+
+    def lt(self, x, y):
+        return (x < y).astype(np.uint8)
+
+    def le(self, x, y):
+        return (x <= y).astype(np.uint8)
+
+    def gt(self, x, y):
+        return (x > y).astype(np.uint8)
+
+    def ge(self, x, y):
+        return (x >= y).astype(np.uint8)
+
+    def select(self, c, x, y):
+        return np.where(c != 0, x, y).astype(np.uint8)
+
+    def mul_bit(self, x, b):
+        return (x * b).astype(np.uint8)
+
+    def add_chars(self, x, y):
+        return (x.astype(np.int32) + y).astype(np.uint8)
+
+    def sub_chars(self, x, y):
+        return (x.astype(np.int32) - y).astype(np.uint8)
+
+    def ne_zero(self, x):
+        return (x != 0).astype(np.uint8)
+
+    def eq_zero(self, x):
+        return (x == 0).astype(np.uint8)
+
+    def is_whitespace(self, x):
+        return np.isin(x, [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]).astype(np.uint8)
+
+    def is_uppercase(self, x):
+        return ((x >= 0x41) & (x <= 0x5A)).astype(np.uint8)
+
+    def is_lowercase(self, x):
+        return ((x >= 0x61) & (x <= 0x7A)).astype(np.uint8)
+
+    def to_upper(self, x):
+        return (x - 32 * self.is_lowercase(x)).astype(np.uint8)
+
+    def to_lower(self, x):
+        return (x + 32 * self.is_uppercase(x)).astype(np.uint8)
+
+    # -- bit ops ---------------------------------------------------------------
+    def and_(self, a, b):
+        return (a & b).astype(np.uint8)
+
+    def or_(self, a, b):
+        return (a | b).astype(np.uint8)
+
+    def not_(self, a):
+        return (1 - a).astype(np.uint8)
+
+    def any_axis(self, bits, axis):
+        return bits.any(axis=axis).astype(np.uint8)
+
+    def all_axis(self, bits, axis):
+        return bits.all(axis=axis).astype(np.uint8)
+
+    def cum_or(self, bits, axis, reverse=False, exclusive=False):
+        b = bits
+        if reverse:
+            b = np.flip(b, axis=axis)
+        out = np.maximum.accumulate(b, axis=axis)
+        if exclusive:
+            shifted = np.roll(out, 1, axis=axis)
+            idx = [slice(None)] * out.ndim
+            idx[axis] = 0
+            shifted[tuple(idx)] = 0
+            out = shifted
+        if reverse:
+            out = np.flip(out, axis=axis)
+        return out.astype(np.uint8)
+
+    def sum_bits(self, bits, axis):
+        return bits.sum(axis=axis).astype(np.uint8)
+
+    def cumsum_bits(self, bits, axis):
+        """Inclusive prefix count of bits, as u8 chars."""
+        return np.cumsum(bits, axis=axis).astype(np.uint8)
+
+    def weighted_onehot_sum(self, onehot, weights, axis):
+        """sum_i onehot_i * weights_i along axis; onehot has <= 1 set."""
+        w = np.asarray(weights, dtype=np.uint8)
+        shape = [1] * onehot.ndim
+        shape[axis] = len(w)
+        return (onehot * w.reshape(shape)).sum(axis=axis).astype(np.uint8)
+
+    def sum_onehot_chars(self, chars, axis):
+        """Sum chars along axis when at most one is nonzero."""
+        return chars.sum(axis=axis, dtype=np.int32).astype(np.uint8)
+
+
+# =============================================================================
+# FHE backend
+# =============================================================================
+
+class FheBackend:
+    """Real TFHE: CT = Blocks [..., 4, kN+1], BT = Blocks [...]."""
+
+    name = "fhe"
+
+    def __init__(self, rc: RadixContext):
+        self.rc = rc
+        self.sc: ShortintContext = rc.sc
+
+    # -- constructors / structure ------------------------------------------
+    def trivial_chars(self, values):
+        return self.rc.trivial_chars(np.asarray(values, dtype=np.uint64))
+
+    def trivial_bits(self, values):
+        return self.rc.trivial_bits(np.asarray(values, dtype=np.uint64))
+
+    def shape(self, x: Blocks):
+        s = x.ct.lo.shape
+        # chars: [..., NB, kN+1]; bits: [..., kN+1]
+        if len(s) >= 2 and s[-2] == NB:
+            return s[:-2]
+        return s[:-1]
+
+    def _map(self, fn, *xs: Blocks) -> Blocks:
+        from .. import torus
+        cts = [x.ct for x in xs]
+        out = fn(*cts)
+        return Blocks(out, max(x.degree for x in xs), max(x.noise_var for x in xs))
+
+    def concat(self, xs, axis=0):
+        from .. import torus
+        return self._map(lambda *cts: torus.concatenate(list(cts), axis=axis), *xs)
+
+    def stack(self, xs, axis=0):
+        from .. import torus
+        ax = axis if axis >= 0 else None
+        assert axis >= 0, "use non-negative axes for stack"
+        return self._map(lambda *cts: torus.stack(list(cts), axis=axis), *xs)
+
+    def take(self, x: Blocks, idx, axis=0):
+        idx = np.asarray(idx)
+        lo = jnp.take(x.ct.lo, idx, axis=axis)
+        hi = jnp.take(x.ct.hi, idx, axis=axis)
+        from ..torus import U64
+        return Blocks(U64(lo, hi), x.degree, x.noise_var)
+
+    def reshape(self, x: Blocks, shape):
+        from .. import torus
+        is_chars = len(x.ct.lo.shape) >= 2 and x.ct.lo.shape[-2] == NB
+        tail = x.ct.lo.shape[-2:] if is_chars else x.ct.lo.shape[-1:]
+        return Blocks(torus.reshape(x.ct, tuple(shape) + tail), x.degree, x.noise_var)
+
+    def broadcast_to(self, x: Blocks, shape):
+        is_chars = len(x.ct.lo.shape) >= 2 and x.ct.lo.shape[-2] == NB
+        tail = x.ct.lo.shape[-2:] if is_chars else x.ct.lo.shape[-1:]
+        full = tuple(shape) + tail
+        from ..torus import U64
+        return Blocks(U64(jnp.broadcast_to(x.ct.lo, full),
+                          jnp.broadcast_to(x.ct.hi, full)), x.degree, x.noise_var)
+
+    def zeros_chars(self, shape):
+        return self.trivial_chars(np.zeros(shape, dtype=np.uint64))
+
+    # -- char ops ---------------------------------------------------------------
+    def eq(self, x, y):
+        return self.rc.eq(*self._align(x, y))
+
+    def ne(self, x, y):
+        return self.rc.ne(*self._align(x, y))
+
+    def lt(self, x, y):
+        return self.rc.lt(*self._align(x, y))
+
+    def le(self, x, y):
+        return self.rc.le(*self._align(x, y))
+
+    def gt(self, x, y):
+        return self.rc.gt(*self._align(x, y))
+
+    def ge(self, x, y):
+        return self.rc.ge(*self._align(x, y))
+
+    def _align(self, x: Blocks, y: Blocks):
+        """Broadcast two char tensors to a common batch shape."""
+        sx, sy = self.shape(x), self.shape(y)
+        common = np.broadcast_shapes(sx, sy)
+        if sx != common:
+            x = self.broadcast_to(x, common)
+        if sy != common:
+            y = self.broadcast_to(y, common)
+        return x, y
+
+    def _align_bit(self, c: Blocks, target_shape):
+        sc = self.shape(c)
+        if tuple(sc) != tuple(target_shape):
+            from ..torus import U64
+            full = tuple(target_shape) + c.ct.lo.shape[-1:]
+            c = Blocks(U64(jnp.broadcast_to(c.ct.lo, full),
+                           jnp.broadcast_to(c.ct.hi, full)),
+                       c.degree, c.noise_var)
+        return c
+
+    def select(self, c, x, y):
+        x, y = self._align(x, y)
+        c = self._align_bit(c, self.shape(x))
+        return self.rc.select(c, x, y)
+
+    def mul_bit(self, x, b):
+        b = self._align_bit(b, self.shape(x))
+        return self.rc.mul_bit(x, b)
+
+    def add_chars(self, x, y):
+        return self.rc.add_chars(*self._align(x, y))
+
+    def sub_chars(self, x, y):
+        return self.rc.sub_chars(*self._align(x, y))
+
+    def ne_zero(self, x):
+        return self.rc.ne_zero(x)
+
+    def eq_zero(self, x):
+        return self.rc.eq_zero(x)
+
+    def is_whitespace(self, x):
+        return self.rc.is_whitespace(x)
+
+    def is_uppercase(self, x):
+        return self.rc.is_uppercase(x)
+
+    def is_lowercase(self, x):
+        return self.rc.is_lowercase(x)
+
+    def to_upper(self, x):
+        return self.rc.to_upper_char(x)
+
+    def to_lower(self, x):
+        return self.rc.to_lower_char(x)
+
+    # -- bit ops -----------------------------------------------------------------
+    def and_(self, a, b):
+        a, b = self._align_bits(a, b)
+        return self.rc.and_(a, b)
+
+    def or_(self, a, b):
+        a, b = self._align_bits(a, b)
+        return self.rc.or_(a, b)
+
+    def _align_bits(self, a: Blocks, b: Blocks):
+        sa, sb = a.ct.lo.shape[:-1], b.ct.lo.shape[:-1]
+        common = np.broadcast_shapes(sa, sb)
+        a = self._align_bit(a, common)
+        b = self._align_bit(b, common)
+        return a, b
+
+    def not_(self, a):
+        return self.rc.not_(a)
+
+    def any_axis(self, bits, axis):
+        return self.rc.any_axis(bits, axis)
+
+    def all_axis(self, bits, axis):
+        return self.rc.all_axis(bits, axis)
+
+    def cum_or(self, bits: Blocks, axis, reverse=False, exclusive=False):
+        """Hillis-Steele prefix OR scan (log-depth)."""
+        n = bits.ct.lo.shape[axis if axis >= 0 else axis - 1]
+        if axis < 0:
+            axis = len(bits.ct.lo.shape) - 1 + axis
+        cur = bits
+        shift = 1
+        while shift < n:
+            from ..torus import U64
+            lo = cur.ct.lo
+            hi = cur.ct.hi
+            if reverse:
+                slo = jnp.concatenate([lo[_sl(axis, shift, None)],
+                                       jnp.zeros_like(lo[_sl(axis, 0, shift)])], axis=axis)
+                shi = jnp.concatenate([hi[_sl(axis, shift, None)],
+                                       jnp.zeros_like(hi[_sl(axis, 0, shift)])], axis=axis)
+            else:
+                slo = jnp.concatenate([jnp.zeros_like(lo[_sl(axis, 0, shift)]),
+                                       lo[_sl(axis, None, -shift)]], axis=axis)
+                shi = jnp.concatenate([jnp.zeros_like(hi[_sl(axis, 0, shift)]),
+                                       hi[_sl(axis, None, -shift)]], axis=axis)
+            shifted = Blocks(U64(slo, shi), cur.degree, cur.noise_var)
+            cur = self.rc.or_(cur, shifted)
+            shift *= 2
+        if exclusive:
+            from ..torus import U64
+            lo, hi = cur.ct.lo, cur.ct.hi
+            if reverse:
+                lo = jnp.concatenate([lo[_sl(axis, 1, None)],
+                                      jnp.zeros_like(lo[_sl(axis, 0, 1)])], axis=axis)
+                hi = jnp.concatenate([hi[_sl(axis, 1, None)],
+                                      jnp.zeros_like(hi[_sl(axis, 0, 1)])], axis=axis)
+            else:
+                lo = jnp.concatenate([jnp.zeros_like(lo[_sl(axis, 0, 1)]),
+                                      lo[_sl(axis, None, -1)]], axis=axis)
+                hi = jnp.concatenate([jnp.zeros_like(hi[_sl(axis, 0, 1)]),
+                                      hi[_sl(axis, None, -1)]], axis=axis)
+            cur = Blocks(type(cur.ct)(lo, hi), cur.degree, cur.noise_var)
+        return cur
+
+    def sum_bits(self, bits, axis):
+        return self.rc.sum_bits(bits, axis)
+
+    def cumsum_bits(self, bits: Blocks, axis):
+        """Inclusive prefix count as chars, Hillis-Steele with radix adds."""
+        if axis < 0:
+            axis = len(bits.ct.lo.shape) - 1 + axis
+        # lift bits into chars (bit in block0, zeros elsewhere)
+        zero_shape = bits.ct.lo.shape[:-1]
+        zeros = self.trivial_chars(np.zeros(zero_shape, np.uint64))
+        from .. import torus
+        from ..torus import U64
+        bit_block = torus.reshape(bits.ct, bits.ct.lo.shape[:-1] + (1,) + bits.ct.lo.shape[-1:])
+        rest = U64(zeros.ct.lo[..., 1:, :], zeros.ct.hi[..., 1:, :])
+        chars = Blocks(torus.concatenate([bit_block, rest], axis=-2),
+                       bits.degree, bits.noise_var)
+        n = chars.ct.lo.shape[axis]
+        cur = chars
+        shift = 1
+        while shift < n:
+            lo, hi = cur.ct.lo, cur.ct.hi
+            zlo = jnp.zeros_like(lo[_sl(axis, 0, shift)])
+            zhi = jnp.zeros_like(hi[_sl(axis, 0, shift)])
+            slo = jnp.concatenate([zlo, lo[_sl(axis, None, -shift)]], axis=axis)
+            shi = jnp.concatenate([zhi, hi[_sl(axis, None, -shift)]], axis=axis)
+            shifted = Blocks(U64(slo, shi), cur.degree, cur.noise_var)
+            cur = self.rc.add_chars(cur, shifted)
+            shift *= 2
+        return cur
+
+    def weighted_onehot_sum(self, onehot: Blocks, weights, axis):
+        """sum_i onehot_i * w_i via per-bitplane ORs (no noise blowup)."""
+        from .. import torus
+        w = np.asarray(weights, dtype=np.uint64)
+        if axis < 0:
+            axis = len(onehot.ct.lo.shape) - 1 + axis
+        blocks = []
+        for b in range(NB):
+            wb = ((w >> (2 * b)) & 3).astype(np.int64)
+            parts = []
+            for bitpos, bitval in ((0, 1), (1, 2)):
+                cols = np.nonzero((wb >> bitpos) & 1)[0]
+                if len(cols) == 0:
+                    continue
+                sub = self.take(onehot, cols, axis=axis)
+                anyb = self.rc.any_axis(sub, axis)
+                parts.append(self.sc.scalar_mul(anyb, bitval))
+            if not parts:
+                shape = onehot.ct.lo.shape[:axis] + onehot.ct.lo.shape[axis + 1:-1]
+                blocks.append(self.sc.trivial(np.zeros(shape, np.uint64)))
+            elif len(parts) == 1:
+                blocks.append(parts[0])
+            else:
+                blocks.append(self.sc.add(parts[0], parts[1]))
+        return self.rc.from_blocks(blocks)
+
+    def sum_onehot_chars(self, chars: Blocks, axis):
+        """Sum chars along axis when at most one is nonzero: grouped linear
+        sums with refresh bootstraps to bound noise."""
+        from .. import torus
+        from ..shortint import MAX_NOISE_VAR
+        if axis < 0:
+            axis = len(self.shape(chars)) + axis
+        cur = chars
+        while cur.ct.lo.shape[axis] > 1:
+            n = cur.ct.lo.shape[axis]
+            g = max(2, min(n, int(MAX_NOISE_VAR // max(cur.noise_var, 1e-9))))
+            pad = (-n) % g
+            ct = cur.ct
+            if pad:
+                zshape = list(ct.lo.shape)
+                zshape[axis] = pad
+                z = jnp.zeros(zshape, jnp.uint32)
+                ct = type(ct)(jnp.concatenate([ct.lo, z], axis=axis),
+                              jnp.concatenate([ct.hi, z], axis=axis))
+            shape = list(ct.lo.shape)
+            shape[axis:axis + 1] = [shape[axis] // g, g]
+            summed = torus.sum_axis(torus.reshape(ct, shape), axis + 1)
+            cur = Blocks(summed, 3, cur.noise_var * g)
+            if cur.noise_var * 16 + 2 > MAX_NOISE_VAR and cur.ct.lo.shape[axis] > 1:
+                cur = self.sc.apply_lut(cur, list(range(4)) * 4)
+        from ..torus import U64
+        lo = jnp.squeeze(cur.ct.lo, axis=axis)
+        hi = jnp.squeeze(cur.ct.hi, axis=axis)
+        out = Blocks(U64(lo, hi), 3, cur.noise_var)
+        if out.noise_var * 16 + 2 > MAX_NOISE_VAR:
+            out = self.sc.apply_lut(out, list(range(4)) * 4)
+        return out
+
+
+def _sl(axis, start, stop):
+    """Build a slice tuple selecting [start:stop] along `axis`."""
+    idx = [slice(None)] * (axis + 1)
+    idx[axis] = slice(start, stop)
+    return tuple(idx)

@@ -31,8 +31,10 @@ from .torus import U64
 
 # Packing/noise budget: a fresh PBS output has variance 1 unit; tfhe-rs 2_2
 # parameters are dimensioned for the 4x+y pack (16 + 1 = 17 units).  We allow
-# a little headroom and refresh lazily beyond it.
-MAX_NOISE_VAR = 32.0
+# headroom up to 2x the designed pack (to admit 4x+y with var-2 operands from
+# linear select outputs) and refresh lazily beyond it.
+# TODO(round2): calibrate against measured PBS output noise on prod params.
+MAX_NOISE_VAR = 34.0
 MAX_DEGREE = 15
 
 
@@ -121,7 +123,6 @@ class ShortintContext:
         """Sum along an axis of known length; caller guarantees the summed
         plaintext value never exceeds max_value <= 15."""
         assert max_value <= MAX_DEGREE
-        ct = U64(a.ct.lo.sum(axis=axis, dtype=jnp.uint32) if False else None, None)
         # carry-correct limb sum over the chosen axis
         ax = axis if axis >= 0 else axis - 1  # account for trailing ct dim
         summed = torus.sum_axis(a.ct, ax)
@@ -134,6 +135,23 @@ class ShortintContext:
             self._lut_cache[key] = pack_luts([list(t) for t in tables], self.params)
         return self._lut_cache[key]
 
+    def _pbs_padded(self, flat: torus.U64, idx: jnp.ndarray, bank: torus.U64):
+        """Run pbs_batch with the batch padded to a power of two, bounding
+        the number of distinct compiled shapes (the blind-rotation loop is
+        expensive to trace/compile)."""
+        n = flat.lo.shape[0]
+        padded = max(8, 1 << (n - 1).bit_length()) if n > 1 else 8
+        if padded != n:
+            pad = padded - n
+            zlo = jnp.zeros((pad,) + flat.lo.shape[1:], jnp.uint32)
+            flat = U64(jnp.concatenate([flat.lo, zlo]),
+                       jnp.concatenate([flat.hi, zlo]))
+            idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
+        out = pbs_batch(flat, idx, bank, self.keys)
+        if padded != n:
+            out = U64(out.lo[:n], out.hi[:n])
+        return out
+
     def apply_lut(self, a: Blocks, table) -> Blocks:
         """Univariate LUT via one batched PBS. table: 16 ints in [0, 16)."""
         table = tuple(int(v) % 16 for v in table)
@@ -142,7 +160,7 @@ class ShortintContext:
         shape = a.shape
         flat = torus.reshape(a.ct, (-1, a.ct.lo.shape[-1]))
         idx = jnp.zeros(flat.lo.shape[0], jnp.int32)
-        out = pbs_batch(flat, idx, bank, self.keys)
+        out = self._pbs_padded(flat, idx, bank)
         out = torus.reshape(out, shape + (a.ct.lo.shape[-1],))
         return Blocks(out, max(table), 1.0)
 
@@ -154,7 +172,7 @@ class ShortintContext:
         shape = a.shape
         flat = torus.reshape(a.ct, (-1, a.ct.lo.shape[-1]))
         idx = table_idx.reshape(-1).astype(jnp.int32)
-        out = pbs_batch(flat, idx, bank, self.keys)
+        out = self._pbs_padded(flat, idx, bank)
         out = torus.reshape(out, shape + (a.ct.lo.shape[-1],))
         return Blocks(out, max(max(t) for t in tables), 1.0)
 

@@ -20,6 +20,8 @@ MXU-saturation and multi-chip sharding axis.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -124,23 +126,55 @@ def _negacyclic_rotate(acc: U64, amounts: jnp.ndarray, n_poly: int) -> U64:
     return torus.gather_last(doubled, idx)
 
 
-def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
-                                 p: CryptoParams) -> U64:
-    """acc += GGSW_j (x) diff.   diff: U64 [B, k+1, N]; bsk_j int8
-    [R, k+1, 8, 2N] (doubled limb planes)."""
-    N = p.polynomial_size
+def _negacyclic_rotate_shear(acc: U64, amounts: jnp.ndarray, n_poly: int) -> U64:
+    """Gather-free per-item rotation: 12-stage conditional negacyclic rolls
+    (static roll + select per bit of the amount). Preferred on TPU, where
+    row-varying gathers lower poorly."""
+    bits = (2 * n_poly).bit_length() - 1  # log2(2N)
+
+    def static_negroll(x: U64, s: int) -> U64:
+        if s == 0:
+            return x
+        head = U64(x.lo[..., n_poly - s:], x.hi[..., n_poly - s:])
+        head = torus.neg(head)
+        tail = U64(x.lo[..., : n_poly - s], x.hi[..., : n_poly - s])
+        return torus.concatenate([head, tail], axis=-1)
+
+    cur = acc
+    for k in range(bits):
+        s = 1 << k
+        if s >= n_poly:
+            # rotation by N == global negation
+            rolled = torus.neg(cur)
+        else:
+            rolled = static_negroll(cur, s)
+        bit = ((amounts >> k) & 1) == 1  # [B]
+        cond = bit[:, None, None]
+        cur = torus.where(cond, rolled, cur)
+    return cur
+
+
+def _digit_limbs(diff: U64, p: CryptoParams) -> jnp.ndarray:
+    """Decompose diff and split digits into balanced int8 limbs.
+    Returns [B, R, N, La] with R = (k+1)*ell ordered (r*ell + lev)."""
     kp1 = p.glwe_dimension + 1
     ell = p.pbs_level
     B = diff.lo.shape[0]
-
+    N = p.polynomial_size
     digits = decompose(diff, p.pbs_base_log, ell)  # [ell, B, k+1, N]
-    # R-order (r*ell + lev) to match the BSK row layout.
     d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, kp1 * ell, N)
     num_digit_limbs = (p.pbs_base_log + 8) // 8  # |digit| <= 2^(base_log-1)
-    dl = balanced_limbs_i32(d, num_digit_limbs)  # [B, R, N, La] int8
+    return balanced_limbs_i32(d, num_digit_limbs)
 
-    # RHS: negacyclic matrices of each BSK poly limb plane, via gather from
-    # the doubled polys: M[c, t] = p2[(t - c) mod 2N].
+
+def _ext_planes_einsum(dl: jnp.ndarray, bsk_j: jnp.ndarray,
+                       p: CryptoParams) -> jnp.ndarray:
+    """Gather+einsum path (CPU/test): planes int32 [B, k+1, 8, N]."""
+    N = p.polynomial_size
+    kp1 = p.glwe_dimension + 1
+    B = dl.shape[0]
+    num_digit_limbs = dl.shape[-1]
+
     t = jnp.arange(N, dtype=jnp.int32)
     c = jnp.arange(N, dtype=jnp.int32)
     idx = (t[None, :] - c[:, None]) & (2 * N - 1)  # [N, N]
@@ -157,26 +191,55 @@ def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
                 preferred_element_type=jnp.int32,
             )
             planes = planes.at[:, :, s, :].add(contrib)
+    return planes
 
+
+def _ext_planes_pallas(dl: jnp.ndarray, bsk_j: jnp.ndarray,
+                       p: CryptoParams) -> jnp.ndarray:
+    """MXU kernel path: strips generated in VMEM (kernels/ext_product.py)."""
+    from .kernels.ext_product import ext_product_planes
+
+    assert p.pbs_level == 1, "pallas path currently assumes ell=1"
+    N = p.polynomial_size
+    B = dl.shape[0]
+    # dl [B, R, N, La] -> drev [La, B, R*N] with c reversed within each r.
+    drev = jnp.flip(dl, axis=2)
+    drev = jnp.transpose(drev, (3, 0, 1, 2)).reshape(dl.shape[-1], B, -1)
+    p4 = jnp.concatenate([bsk_j, bsk_j], axis=-1)  # [R, k+1, 8, 4N]
+    b_tile = 128 if B % 128 == 0 else (64 if B % 64 == 0 else 32)
+    return ext_product_planes(drev, p4, n_poly=N, b_tile=b_tile)
+
+
+def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
+                                 p: CryptoParams, use_pallas: bool) -> U64:
+    """acc += GGSW_j (x) diff.   diff: U64 [B, k+1, N]; bsk_j int8
+    [R, k+1, 8, 2N] (doubled limb planes)."""
+    dl = _digit_limbs(diff, p)
+    if use_pallas:
+        planes = _ext_planes_pallas(dl, bsk_j, p)
+    else:
+        planes = _ext_planes_einsum(dl, bsk_j, p)
     ext = recombine_planes(jnp.moveaxis(planes, 2, -1))  # U64 [B, k+1, N]
     return torus.add(acc, ext)
 
 
-def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys) -> U64:
+def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
+                 use_pallas: bool = False) -> U64:
     """acc: U64 [B, k+1, N]; lwe_2n: int32 [B, n+1]. Sequential over the n
     LWE coefficients (the inherently serial axis); throughput comes from B."""
     p = keys.params
     N = p.polynomial_size
+    rotate = _negacyclic_rotate_shear if use_pallas else _negacyclic_rotate
 
     b = lwe_2n[:, -1]
-    acc = _negacyclic_rotate(acc, (2 * N - b) & (2 * N - 1), N)
+    acc = rotate(acc, (2 * N - b) & (2 * N - 1), N)
 
     def step(j, acc):
         a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
         bsk_j = jax.lax.dynamic_slice_in_dim(keys.bsk_limbs, j, 1, axis=0)[0]
-        rotated = _negacyclic_rotate(acc, a_j, N)
+        rotated = rotate(acc, a_j, N)
         diff = torus.sub(rotated, acc)
-        return _external_product_accumulate(acc, diff, bsk_j, p)
+        return _external_product_accumulate(acc, diff, bsk_j, p, use_pallas)
 
     return jax.lax.fori_loop(0, p.lwe_dimension, step, acc)
 
@@ -208,9 +271,9 @@ def sample_extract(acc: U64, p: CryptoParams) -> U64:
 # Full PBS
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
 def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
-              keys: DeviceServerKeys) -> U64:
+              keys: DeviceServerKeys, use_pallas: bool = False) -> U64:
     """Apply per-item LUTs to a batch of big-key LWE ciphertexts.
 
     ct: U64 [B, kN+1]; lut_idx: int32 [B] into lut_bank U64 [L, 2N].
@@ -236,5 +299,5 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
     )
 
     lwe_nob = jnp.concatenate([lwe_2n[:, :-1], jnp.zeros((B, 1), jnp.int32)], axis=1)
-    acc = blind_rotate(acc, lwe_nob, keys)
+    acc = blind_rotate(acc, lwe_nob, keys, use_pallas=use_pallas)
     return sample_extract(acc, p)

@@ -76,15 +76,16 @@ def main():
     dct = torus.from_numpy(cts)
     idx = np.zeros(B, np.int32)
 
+    on_tpu = jax.devices()[0].platform != "cpu"
     t0 = time.time()
-    out = dpbs.pbs_batch(dct, idx, bank, dev)
+    out = dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu)
     jax.block_until_ready(out)
     print(f"# first call (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        out = dpbs.pbs_batch(dct, idx, bank, dev)
+        out = dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)

@@ -25,14 +25,19 @@ NB = 4
 
 
 class ClientKey:
-    def __init__(self, params: CryptoParams = PARAM_PROD, seed: int = 0):
+    def __init__(self, params: CryptoParams = PARAM_PROD, seed: int | None = 0):
+        """seed=None uses a fresh AES-CTR key (secure); an int seed gives a
+        deterministic AES-CTR stream (tests/benchmarks)."""
+        from .native import SecureRng
+
         self.params = params
-        self._rng = np.random.default_rng(seed)
+        self._rng = SecureRng(seed=seed)
         self.secret, self._server_raw = ref.keygen(params, self._rng)
         self.public_parameters = PublicParameters(num_blocks=params.num_blocks)
 
     @classmethod
-    def from_params(cls, params: CryptoParams = PARAM_PROD, seed: int = 0) -> "ClientKey":
+    def from_params(cls, params: CryptoParams = PARAM_PROD,
+                    seed: int | None = 0) -> "ClientKey":
         return cls(params, seed)
 
     def get_server_key(self):

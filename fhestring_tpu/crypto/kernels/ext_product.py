@@ -59,7 +59,7 @@ def _gen_hankel_strip(w, n_poly: int):
 
 def _ext_product_kernel(drev_hbm, p4_ref, out_hbm, r_all, dtile, otile,
                         dma_sems, out_sem, *, n_poly: int, b_tile: int,
-                        num_la: int, kp1: int):
+                        num_la: int, kp1: int, ablate: str = ""):
     """grid = (T_panels, kp1); see module docstring for the contraction."""
     t_idx = pl.program_id(0)
     t0 = t_idx * LANE
@@ -73,11 +73,12 @@ def _ext_product_kernel(drev_hbm, p4_ref, out_hbm, r_all, dtile, otile,
     base_panel = (t_idx + t_panels) % (2 * t_panels)
     base = pl.multiple_of(base_panel * LANE, LANE)
     del two_n
-    for i in range(kp1):
-        for lb in range(NUM_LB):
-            w = p4_ref[i, 0, lb, pl.ds(base, n_poly + LANE)]
-            r_all[lb, i * n_poly:(i + 1) * n_poly, :] = _gen_hankel_strip(
-                w, n_poly)
+    if "gen" not in ablate:
+        for i in range(kp1):
+            for lb in range(NUM_LB):
+                w = p4_ref[i, 0, lb, pl.ds(base, n_poly + LANE)]
+                r_all[lb, i * n_poly:(i + 1) * n_poly, :] = _gen_hankel_strip(
+                    w, n_poly)
 
     num_b_tiles = drev_hbm.shape[1] // b_tile
 
@@ -99,34 +100,41 @@ def _ext_product_kernel(drev_hbm, p4_ref, out_hbm, r_all, dtile, otile,
 
         get_dma(slot, bi).wait()
 
-        for s in range(NUM_LB):
-            acc = jnp.zeros((b_tile, LANE), jnp.int32)
-            for la in range(num_la):
-                lb = s - la
-                if lb < 0 or lb >= NUM_LB:
-                    continue
-                acc = acc + jax.lax.dot(
-                    dtile[slot, la], r_all[lb],
-                    preferred_element_type=jnp.int32)
-            otile[:, s, :] = acc
+        # One dot per key-limb plane with all digit-limb planes folded into
+        # the M dimension (3x fewer MXU weight loads than per-(la,lb) dots).
+        if "dot" not in ablate:
+            dcat = dtile[slot].reshape(num_la * b_tile, dtile.shape[-1])
+            acc = [jnp.zeros((b_tile, LANE), jnp.int32) for _ in range(NUM_LB)]
+            for lb in range(NUM_LB):
+                r = jax.lax.dot(dcat, r_all[lb],
+                                preferred_element_type=jnp.int32)
+                for la in range(num_la):
+                    s = la + lb
+                    if s >= NUM_LB:
+                        continue
+                    acc[s] = acc[s] + r[la * b_tile:(la + 1) * b_tile]
+            for s in range(NUM_LB):
+                otile[:, s, :] = acc[s]
 
-        copy_out = pltpu.make_async_copy(
-            otile,
-            out_hbm.at[pl.ds(bi * b_tile, b_tile), pl.program_id(1),
-                       slice(None), pl.ds(t0, LANE)],
-            out_sem,
-        )
-        copy_out.start()
-        copy_out.wait()
+        if "out" not in ablate:
+            copy_out = pltpu.make_async_copy(
+                otile,
+                out_hbm.at[pl.ds(bi * b_tile, b_tile), pl.program_id(1),
+                           slice(None), pl.ds(t0, LANE)],
+                out_sem,
+            )
+            copy_out.start()
+            copy_out.wait()
         return 0
 
     jax.lax.fori_loop(0, num_b_tiles, body, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("n_poly", "b_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_poly", "b_tile", "interpret",
+                                              "ablate"))
 def ext_product_planes(drev: jnp.ndarray, p4: jnp.ndarray, *,
                        n_poly: int, b_tile: int = 128,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False, ablate: str = "") -> jnp.ndarray:
     """Pallas entry: drev int8 [num_la, B, (k+1)*N] (digit limbs with the
     c-axis REVERSED within each i-block), p4 int8 [k+1, k+1, 8, 4N]
     (quadrupled key limb planes, [i, jout, lb]).
@@ -141,7 +149,7 @@ def ext_product_planes(drev: jnp.ndarray, p4: jnp.ndarray, *,
     grid = (t_panels, kp1)
     out = pl.pallas_call(
         functools.partial(_ext_product_kernel, n_poly=n_poly, b_tile=b_tile,
-                          num_la=num_la, kp1=kp1),
+                          num_la=num_la, kp1=kp1, ablate=ablate),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # drev stays in HBM

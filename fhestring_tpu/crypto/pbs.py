@@ -286,13 +286,18 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
     small = keyswitch(ct, keys)
     lwe_2n = modswitch(small, p)
 
-    # Init accumulator: body = testpoly * X^{-b}, via gather from the doubled
-    # LUT polynomials; masks start at zero.
+    # Init accumulator: body = testpoly * X^{-b}; masks start at zero.
     b = lwe_2n[:, -1]
-    t = jnp.arange(N, dtype=jnp.int32)
-    idx = (t[None, :] + b[:, None]) & (2 * N - 1)  # [B, N]
     sel = U64(lut_bank.lo[lut_idx], lut_bank.hi[lut_idx])  # [B, 2N]
-    body = torus.gather_last(sel, idx)  # [B, N]
+    if use_pallas:
+        # gather-free: rotate the N-coefficient poly by (2N - b) via shear
+        poly = U64(sel.lo[:, None, :N], sel.hi[:, None, :N])  # [B, 1, N]
+        body = _negacyclic_rotate_shear(poly, (2 * N - b) & (2 * N - 1), N)
+        body = U64(body.lo[:, 0], body.hi[:, 0])
+    else:
+        t = jnp.arange(N, dtype=jnp.int32)
+        idx = (t[None, :] + b[:, None]) & (2 * N - 1)  # [B, N]
+        body = torus.gather_last(sel, idx)  # [B, N]
     zeros_mask = torus.zeros((B, p.glwe_dimension, N))
     acc = torus.concatenate(
         [zeros_mask, torus.reshape(body, (B, 1, N))], axis=1

@@ -1,0 +1,107 @@
+"""Native (C++) runtime components.
+
+- csprng: AES-128-CTR secure randomness for client-side key generation and
+  encryption, replacing the reference's concrete-csprng/aes native deps
+  (SURVEY.md section 2.3). Compiled on first use; falls back to
+  numpy's PCG64 (flagged non-secure) if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import secrets
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SO_PATH = os.path.join(_HERE, "libcsprng.so")
+_LIB = None
+
+
+def _build() -> bool:
+    src = os.path.join(_HERE, "csprng.cpp")
+    flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
+    for extra in (["-maes", "-msse4.1"], []):
+        cmd = ["g++", *flags, *extra, src, "-o", _SO_PATH]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return False
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_SO_PATH):
+        if not _build():
+            return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.aes128_ctr_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_uint64]
+    lib.aes128_ctr_fill.restype = None
+    lib.csprng_has_aesni.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+class SecureRng:
+    """AES-CTR-backed RNG with the numpy Generator subset the crypto layer
+    uses (integers, normal).  Deterministic given (key, counter) — useful
+    for reproducible test vectors; pass key=None for a fresh random key."""
+
+    def __init__(self, key: bytes | None = None, seed: int | None = None):
+        if key is None:
+            key = (secrets.token_bytes(16) if seed is None
+                   else int(seed).to_bytes(16, "little", signed=False))
+        assert len(key) == 16
+        self._key = key
+        self._counter = 0
+        self._lib = _load()
+        self._fallback = None
+        if self._lib is None:
+            self._fallback = np.random.default_rng(
+                int.from_bytes(key, "little") & ((1 << 63) - 1))
+
+    @property
+    def is_secure(self) -> bool:
+        return self._lib is not None
+
+    def _bytes(self, n: int) -> np.ndarray:
+        if self._lib is None:
+            return self._fallback.integers(0, 256, size=n, dtype=np.uint8)
+        out = np.empty(n, dtype=np.uint8)
+        self._lib.aes128_ctr_fill(
+            out.ctypes.data_as(ctypes.c_void_p), n, self._key, self._counter)
+        self._counter += (n + 15) // 16
+        return out
+
+    def integers(self, low, high, size=None, dtype=np.int64):
+        size = () if size is None else size
+        n = int(np.prod(size)) if size else 1
+        span = int(high) - int(low)
+        raw = self._bytes(n * 8).view(np.uint64)
+        if span & (span - 1) == 0:  # power of two: no modulo bias
+            vals = (raw & np.uint64(span - 1)).astype(np.uint64)
+        else:
+            vals = raw % np.uint64(span)
+        out = (vals.astype(np.uint64) + np.uint64(low)).astype(dtype)
+        return out.reshape(size) if size else dtype(out[0])
+
+    def normal(self, loc=0.0, scale=1.0, size=None):
+        size = () if size is None else size
+        n = int(np.prod(size)) if size else 1
+        m = n + (n & 1)
+        u = self._bytes(m * 8).view(np.uint64)
+        # uniforms in (0, 1]
+        u01 = (u.astype(np.float64) + 1.0) / 2.0**64
+        u1, u2 = u01[: m // 2], u01[m // 2:]
+        r = np.sqrt(-2.0 * np.log(u1))
+        z = np.concatenate([r * np.cos(2 * np.pi * u2),
+                            r * np.sin(2 * np.pi * u2)])[:n]
+        out = loc + scale * z
+        return out.reshape(size) if size else float(out[0])

@@ -76,17 +76,25 @@ def main():
     dct = torus.from_numpy(cts)
     idx = np.zeros(B, np.int32)
 
+    def sync(x):
+        # jax.block_until_ready returns before the remote axon execution
+        # finishes; a host fetch is the only reliable fence. Fetch the whole
+        # array (NOT a slice — slicing dispatches a fresh computation, which
+        # pays a full remote compile for its shape).
+        jax.block_until_ready(x)
+        np.asarray(x.lo)
+
     on_tpu = jax.devices()[0].platform != "cpu"
     t0 = time.time()
     out = dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"# first call (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
         out = dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu)
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.time() - t0)
     best = min(times)
     pbs_per_sec = B / best

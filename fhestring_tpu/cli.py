@@ -285,6 +285,8 @@ def main(argv=None):
     ap.add_argument("--methods", nargs="*", default=None,
                     help="subset of methods to run (default: all 52)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--metrics", action="store_true",
+                    help="print per-method PBS counts (see metrics.py)")
     args = ap.parse_args(argv)
 
     from .compat import enable_compile_cache
@@ -296,17 +298,24 @@ def main(argv=None):
     server = client.get_server_key()
     print(f"Keygen took {time.time() - t0:.1f}s")
 
+    from . import metrics
+
     methods = args.methods if args.methods else METHODS
     failures = 0
     for method in methods:
         t0 = time.time()
+        before = metrics.GLOBAL.snapshot()
         try:
             ok = run_fhe_str_method(server, client, args, method)
         except Exception as e:  # parity: reference panics abort the run
             print(f"Test Errored: {e!r}, ", end="")
             ok = False
         failures += 0 if ok else 1
-        print(f"{method} {time.time() - t0:.3f}s")
+        extra = ""
+        if args.metrics:
+            d = metrics.GLOBAL.delta(before)
+            extra = f" [{d.pbs_items} PBS in {d.pbs_calls} batches]"
+        print(f"{method} {time.time() - t0:.3f}s{extra}")
     print(f"\n{len(methods) - failures}/{len(methods)} methods passed")
     return 1 if failures else 0
 

@@ -139,8 +139,11 @@ class ShortintContext:
         """Run pbs_batch with the batch padded to a power of two, bounding
         the number of distinct compiled shapes (the blind-rotation loop is
         expensive to trace/compile)."""
+        from . import metrics
+
         n = flat.lo.shape[0]
         padded = max(8, 1 << (n - 1).bit_length()) if n > 1 else 8
+        metrics.record_pbs(n, padded)
         if padded != n:
             pad = padded - n
             zlo = jnp.zeros((pad,) + flat.lo.shape[1:], jnp.uint32)

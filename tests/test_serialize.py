@@ -1,0 +1,55 @@
+"""Key / ciphertext checkpoint round-trips (serialize.py)."""
+
+import numpy as np
+
+from fhestring_tpu import PARAM_TEST_ZERO_NOISE, serialize
+from fhestring_tpu.client import ClientKey
+
+
+def test_client_key_roundtrip(tmp_path):
+    ck = ClientKey(PARAM_TEST_ZERO_NOISE, seed=5)
+    path = str(tmp_path / "ck.npz")
+    serialize.save_client_key(path, ck)
+    ck2 = serialize.load_client_key(path)
+
+    # the restored client decrypts ciphertexts made by the original...
+    s = ck.encrypt("roundtrip", 1)
+    assert ck2.decrypt(s) == "roundtrip"
+    # ...and its fresh encryptions decrypt under the original key
+    t = ck2.encrypt("hello", 2)
+    assert ck.decrypt(t) == "hello"
+
+
+def test_server_key_roundtrip_and_eval(tmp_path):
+    ck = ClientKey(PARAM_TEST_ZERO_NOISE, seed=5)
+    path = str(tmp_path / "sk.npz")
+    serialize.save_server_key(path, ck)
+    srv = serialize.load_server_key(path)
+
+    s = ck.encrypt("abcd", 1)
+    pat = ck.encrypt_no_padding("bc")
+    assert ck.decrypt_char(srv.contains(s, pat)) == 1
+    assert ck.decrypt_char(srv.len(s)) == 4
+
+
+def test_server_key_file_has_no_secrets(tmp_path):
+    ck = ClientKey(PARAM_TEST_ZERO_NOISE, seed=5)
+    path = str(tmp_path / "sk.npz")
+    serialize.save_server_key(path, ck)
+    data = np.load(path, allow_pickle=False)
+    assert "lwe_sk" not in data and "glwe_sk" not in data
+
+
+def test_ciphertext_roundtrip(tmp_path):
+    ck = ClientKey(PARAM_TEST_ZERO_NOISE, seed=6)
+    s = ck.encrypt("persist", 2)
+    path = str(tmp_path / "ct.npz")
+    serialize.save_fhe_string(path, s)
+    s2 = serialize.load_fhe_string(path)
+    assert ck.decrypt(s2) == "persist"
+
+    srv = ck.get_server_key()
+    c = srv.len(s2)
+    cpath = str(tmp_path / "char.npz")
+    serialize.save_fhe_char(cpath, c)
+    assert ck.decrypt_char(serialize.load_fhe_char(cpath)) == 7

@@ -37,3 +37,43 @@ def shard_string(mesh: Mesh, blocks):
 def replicate(mesh: Mesh, tree):
     spec = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+
+
+def pbs_batch_sharded(ct, lut_idx, lut_bank, keys, mesh: Mesh,
+                      use_pallas: bool = False):
+    """Batched PBS with the batch axis sharded over the mesh.
+
+    Explicit shard_map (not GSPMD auto-sharding): each chip runs the full
+    blind-rotation loop on its lane slice with evaluation keys + LUT bank
+    replicated. There is no cross-chip communication inside a PBS — the
+    collectives appear only in the aggregate reductions the string engine
+    runs on the PBS outputs (contains' OR-tree, len's popcount, ...),
+    which GSPMD lowers to psum over ICI.
+
+    ct: U64 [B, kN+1] with B divisible by the mesh size.
+    """
+    from functools import partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from .crypto.pbs import pbs_batch
+
+    spec_b = P(BATCH_AXIS)
+    spec_r = P()
+
+    fn = shard_map(
+        partial(pbs_batch, use_pallas=use_pallas),
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: spec_b, ct),
+            spec_b,
+            jax.tree.map(lambda _: spec_r, lut_bank),
+            jax.tree.map(lambda _: spec_r, keys),
+        ),
+        out_specs=jax.tree.map(lambda _: spec_b, ct),
+        check_vma=False,
+    )
+    return fn(ct, lut_idx, lut_bank, keys)

@@ -1,0 +1,76 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh.
+
+The real deployment shards the PBS batch axis (string positions x blocks)
+across chips (SURVEY.md section 2.4); these tests prove the sharded paths
+are bit-identical to single-device execution and that the string engine's
+aggregate reductions compile and run under a mesh.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fhestring_tpu import PARAM_TEST_ZERO_NOISE, parallel, torus
+from fhestring_tpu import numpy_ref as ref
+from fhestring_tpu.client import ClientKey
+from fhestring_tpu.crypto import keys as dkeys
+from fhestring_tpu.crypto import pbs as dpbs
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    p = PARAM_TEST_ZERO_NOISE
+    rng = np.random.default_rng(7)
+    sk, srv = ref.keygen(p, rng)
+    return p, rng, sk, dkeys.pack_server_keys(srv)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_pbs_matches_unsharded(ctx):
+    p, rng, sk, dev = ctx
+    table = [(5 * m + 2) % 16 for m in range(16)]
+    bank = dkeys.pack_luts([table], p)
+    B = 16
+    msgs = rng.integers(0, 16, size=B)
+    cts = np.stack([ref.shortint_encrypt(sk, int(m), rng) for m in msgs])
+    dct = torus.from_numpy(cts)
+    idx = np.zeros(B, np.int32)
+
+    want = torus.to_numpy(dpbs.pbs_batch(dct, idx, bank, dev))
+
+    mesh = parallel.make_mesh(8)
+    got = torus.to_numpy(
+        parallel.pbs_batch_sharded(dct, idx, bank, dev, mesh))
+    np.testing.assert_array_equal(got, want)
+    for i in range(B):
+        assert ref.shortint_decrypt(sk, want[i]) == table[msgs[i]]
+
+
+def test_lane_sharded_contains_matches(ctx):
+    """Character lanes sharded over the mesh; jitted contains under GSPMD
+    must agree with the unsharded result (aggregate bit via collectives)."""
+    ck = ClientKey(PARAM_TEST_ZERO_NOISE, seed=9)
+    srv = ck.get_server_key()
+    text = "sixteen chars ab"  # 16 chars: divisible by 8 lanes
+    s = ck.encrypt(text, padding=8)
+    pat = ck.encrypt_no_padding("chars")
+
+    plain = ck.decrypt_char(srv.contains(s, pat))
+    assert plain == 1
+
+    mesh = parallel.make_mesh(8)
+    lane = NamedSharding(mesh, P(parallel.BATCH_AXIS))
+    repl = NamedSharding(mesh, P())
+    s_sh = jax.tree.map(lambda x: jax.device_put(x, lane), s.blocks)
+    p_sh = jax.tree.map(lambda x: jax.device_put(x, repl), pat.blocks)
+
+    with mesh:
+        bit = srv.engine.contains(s_sh, p_sh)
+    from fhestring_tpu.shortint import Blocks
+
+    got = int(ck.decrypt_bits(Blocks(bit.ct, 1, 1.0)))
+    assert got == 1

@@ -34,8 +34,13 @@ def get_keys(params, seed=0):
         srv = ref.ServerKeys(params, data["bsk"], data["ksk"])
         return sk, srv
     t0 = time.time()
-    rng = np.random.default_rng(seed)
-    sk, srv = ref.keygen(params, rng)
+    from fhestring_tpu import native
+
+    if native.keygen_available():
+        sk, srv = native.keygen_native(params, seed.to_bytes(16, "little"))
+    else:
+        rng = np.random.default_rng(seed)
+        sk, srv = ref.keygen(params, rng)
     print(f"# keygen took {time.time() - t0:.1f}s", file=sys.stderr)
     np.savez(path, lwe_sk=sk.lwe_sk, glwe_sk=sk.glwe_sk, bsk=srv.bsk,
              ksk=srv.ksk)

@@ -25,14 +25,30 @@ NB = 4
 
 
 class ClientKey:
-    def __init__(self, params: CryptoParams = PARAM_PROD, seed: int | None = 0):
+    def __init__(self, params: CryptoParams = PARAM_PROD, seed: int | None = 0,
+                 native_keygen: bool | None = None):
         """seed=None uses a fresh AES-CTR key (secure); an int seed gives a
-        deterministic AES-CTR stream (tests/benchmarks)."""
+        deterministic AES-CTR stream (tests/benchmarks).
+
+        native_keygen: use the C++ keygen (native/keygen.cpp; ~70x faster
+        at production parameters). Default: auto — native for production
+        sizes (N >= 1024) when a compiler is available, NumPy otherwise.
+        """
+        from . import native
         from .native import SecureRng
 
         self.params = params
         self._rng = SecureRng(seed=seed)
-        self.secret, self._server_raw = ref.keygen(params, self._rng)
+        if native_keygen is None:
+            native_keygen = (params.polynomial_size >= 1024
+                             and native.keygen_available())
+        if native_keygen:
+            # Counter regions >= 2^32: disjoint from self._rng's encryption
+            # stream, which counts up from 0 under the same key.
+            self.secret, self._server_raw = native.keygen_native(
+                params, self._rng._key)
+        else:
+            self.secret, self._server_raw = ref.keygen(params, self._rng)
         self.public_parameters = PublicParameters(num_blocks=params.num_blocks)
 
     @classmethod

@@ -194,10 +194,11 @@ def _ext_planes_einsum(dl: jnp.ndarray, bsk_j: jnp.ndarray,
     return planes
 
 
-def _ext_planes_pallas(dl: jnp.ndarray, bsk_j: jnp.ndarray,
-                       p: CryptoParams) -> jnp.ndarray:
-    """MXU kernel path: strips generated in VMEM (kernels/ext_product.py)."""
-    from .kernels.ext_product import ext_product_planes
+def _ext_u64_pallas(dl: jnp.ndarray, bsk_j: jnp.ndarray,
+                    p: CryptoParams) -> U64:
+    """MXU kernel path: master Hankel bands in VMEM, u64 recombination
+    in-kernel (kernels/ext_product.py)."""
+    from .kernels.ext_product import ext_product_u64
 
     assert p.pbs_level == 1, "pallas path currently assumes ell=1"
     N = p.polynomial_size
@@ -206,8 +207,12 @@ def _ext_planes_pallas(dl: jnp.ndarray, bsk_j: jnp.ndarray,
     drev = jnp.flip(dl, axis=2)
     drev = jnp.transpose(drev, (3, 0, 1, 2)).reshape(dl.shape[-1], B, -1)
     p4 = jnp.concatenate([bsk_j, bsk_j], axis=-1)  # [R, k+1, 8, 4N]
-    b_tile = 128 if B % 128 == 0 else (64 if B % 64 == 0 else 32)
-    return ext_product_planes(drev, p4, n_poly=N, b_tile=b_tile)
+    b_tile = next((d for d in (128, 64, 32, 16, 8) if B % d == 0), B)
+    # On CPU the Mosaic kernel can't run natively; interpret it (tests).
+    interpret = jax.default_backend() == "cpu"
+    lo, hi = ext_product_u64(drev, p4, n_poly=N, b_tile=b_tile,
+                             interpret=interpret)
+    return U64(lo, hi)
 
 
 def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
@@ -216,10 +221,10 @@ def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
     [R, k+1, 8, 2N] (doubled limb planes)."""
     dl = _digit_limbs(diff, p)
     if use_pallas:
-        planes = _ext_planes_pallas(dl, bsk_j, p)
+        ext = _ext_u64_pallas(dl, bsk_j, p)
     else:
         planes = _ext_planes_einsum(dl, bsk_j, p)
-    ext = recombine_planes(jnp.moveaxis(planes, 2, -1))  # U64 [B, k+1, N]
+        ext = recombine_planes(jnp.moveaxis(planes, 2, -1))  # U64 [B, k+1, N]
     return torus.add(acc, ext)
 
 

@@ -4,6 +4,12 @@
   encryption, replacing the reference's concrete-csprng/aes native deps
   (SURVEY.md section 2.3). Compiled on first use; falls back to
   numpy's PCG64 (flagged non-secure) if no compiler is available.
+- keygen: full TFHE keygen (secret keys, bootstrap key, keyswitch key) in
+  C++/OpenMP — the production path for large parameter sets, where the
+  NumPy oracle keygen takes ~70 s. Semantics match numpy_ref.keygen
+  (binary keys, gadget-scaled GGSW/KSK encryptions); randomness is drawn
+  from AES-CTR counter regions disjoint from the client's encryption
+  stream.
 """
 
 from __future__ import annotations
@@ -17,20 +23,26 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _SO_PATH = os.path.join(_HERE, "libcsprng.so")
+_KG_SO_PATH = os.path.join(_HERE, "libkeygen.so")
 _LIB = None
+_KG_LIB = None
 
 
-def _build() -> bool:
-    src = os.path.join(_HERE, "csprng.cpp")
+def _compile(src: str, out: str, extra_groups) -> bool:
     flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
-    for extra in (["-maes", "-msse4.1"], []):
-        cmd = ["g++", *flags, *extra, src, "-o", _SO_PATH]
+    for extra in extra_groups:
+        cmd = ["g++", *flags, *extra, src, "-o", out]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
             return True
         except (subprocess.CalledProcessError, FileNotFoundError):
             continue
     return False
+
+
+def _build() -> bool:
+    return _compile(os.path.join(_HERE, "csprng.cpp"), _SO_PATH,
+                    (["-maes", "-msse4.1"], []))
 
 
 def _load():
@@ -47,6 +59,64 @@ def _load():
     lib.csprng_has_aesni.restype = ctypes.c_int
     _LIB = lib
     return lib
+
+
+def _load_keygen():
+    global _KG_LIB
+    if _KG_LIB is not None:
+        return _KG_LIB
+    if not os.path.exists(_KG_SO_PATH):
+        src = os.path.join(_HERE, "keygen.cpp")
+        if not _compile(src, _KG_SO_PATH,
+                        (["-maes", "-msse4.1", "-fopenmp"],
+                         ["-maes", "-msse4.1"], ["-fopenmp"], [])):
+            return None
+    lib = ctypes.CDLL(_KG_SO_PATH)
+    c = ctypes
+    lib.tfhe_keygen.argtypes = [
+        c.c_uint32, c.c_uint32, c.c_uint32, c.c_uint32, c.c_uint32,
+        c.c_uint32, c.c_uint32, c.c_double, c.c_double, c.c_char_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p]
+    lib.tfhe_keygen.restype = None
+    _KG_LIB = lib
+    return lib
+
+
+def keygen_available() -> bool:
+    return _load_keygen() is not None
+
+
+def keygen_native(params, key: bytes):
+    """Native keygen: returns (SecretKeys, ServerKeys) like
+    numpy_ref.keygen (same layouts, independent randomness).
+
+    `key` is the client's 16-byte AES key; this draws from counter regions
+    >= 2^32, disjoint from SecureRng's encryption stream (which counts up
+    from 0).
+    """
+    lib = _load_keygen()
+    if lib is None:
+        raise RuntimeError("no C++ compiler available for native keygen")
+    from ..numpy_ref import core as ref
+
+    p = params
+    assert p.q_bits == 64, "native keygen assumes the 64-bit torus"
+    n, k, N, ell = (p.lwe_dimension, p.glwe_dimension, p.polynomial_size,
+                    p.pbs_level)
+    lwe_sk = np.zeros(n, dtype=np.int64)
+    glwe_sk = np.zeros((k, N), dtype=np.int64)
+    bsk = np.zeros((n, (k + 1) * ell, k + 1, N), dtype=np.uint64)
+    ksk = np.zeros((k * N, p.ks_level, n + 1), dtype=np.uint64)
+    assert len(key) == 16
+    lib.tfhe_keygen(
+        n, k, N, ell, p.pbs_base_log, p.ks_level, p.ks_base_log,
+        float(p.lwe_noise_std), float(p.glwe_noise_std), key,
+        lwe_sk.ctypes.data_as(ctypes.c_void_p),
+        glwe_sk.ctypes.data_as(ctypes.c_void_p),
+        bsk.ctypes.data_as(ctypes.c_void_p),
+        ksk.ctypes.data_as(ctypes.c_void_p),
+    )
+    return ref.SecretKeys(p, lwe_sk, glwe_sk), ref.ServerKeys(p, bsk, ksk)
 
 
 class SecureRng:

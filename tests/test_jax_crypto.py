@@ -111,3 +111,18 @@ def test_full_pbs_batch_matches_numpy(ctx):
     for i, m in enumerate(msgs):
         table = identity if luts[i] == 0 else affine
         assert ref.shortint_decrypt(sk, got[i]) == table[m]
+
+
+def test_full_pbs_batch_pallas_path_matches(ctx):
+    """use_pallas=True (interpreted Mosaic kernel + shear rotations on CPU)
+    must agree with the einsum path bit-exactly."""
+    p, rng, sk, srv, dev = ctx
+    table = [(7 * m + 3) % 16 for m in range(16)]
+    bank = dkeys.pack_luts([table], p)
+    msgs = [0, 4, 9, 15, 2, 7, 12, 1]
+    cts = np.stack([ref.shortint_encrypt(sk, m, rng) for m in msgs])
+    idx = np.zeros(len(msgs), np.int32)
+    want = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank, dev))
+    got = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank, dev,
+                                        use_pallas=True))
+    np.testing.assert_array_equal(got, want)

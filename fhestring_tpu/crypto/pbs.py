@@ -25,10 +25,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import os
+
 from .. import torus
 from ..params import CryptoParams
 from ..torus import U64
 from .keys import DeviceServerKeys
+
+# Opt-in fully-fused blind-rotation prologue (see blind_rotate.step_pallas).
+FUSED_PROLOGUE = os.environ.get("FHESTRING_FUSED_PROLOGUE", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +244,36 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
     b = lwe_2n[:, -1]
     acc = rotate(acc, (2 * N - b) & (2 * N - 1), N)
 
+    def step_pallas(j, acc):
+        """Fully-fused prologue: rotate+diff+decompose+limbs in one Pallas
+        kernel, external product + u64 recombine in a second.
+
+        Measured SLOWER than letting XLA fuse the prologue (351 vs 377
+        PBS/s at B=1024, prod params): XLA's fusion of the shear stages is
+        already traffic-optimal and the VMEM kernel pays its VPU cost
+        serially. Kept behind FUSED_PROLOGUE for future experiments (e.g.
+        if a later kernel folds the ext-product input DMA directly)."""
+        from .kernels.ext_product import ext_product_u64
+        from .kernels.rotate_decompose import rotate_diff_decompose
+
+        a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
+        bsk_j = jax.lax.dynamic_slice_in_dim(keys.bsk_limbs, j, 1, axis=0)[0]
+        num_la = (p.pbs_base_log + 8) // 8
+        interpret = jax.default_backend() == "cpu"
+        dl = rotate_diff_decompose(
+            acc.lo, acc.hi, a_j, n_poly=N, base_log=p.pbs_base_log,
+            num_la=num_la, interpret=interpret)  # [La, B, (k+1)N], natural c
+        B = dl.shape[1]
+        kp1 = p.glwe_dimension + 1
+        # reverse c within each i block (one fused XLA pass)
+        drev = jnp.flip(dl.reshape(num_la, B, kp1, N), axis=-1)
+        drev = drev.reshape(num_la, B, kp1 * N)
+        p4 = jnp.concatenate([bsk_j, bsk_j], axis=-1)
+        b_tile = next((d for d in (128, 64, 32, 16, 8) if B % d == 0), B)
+        lo, hi = ext_product_u64(drev, p4, n_poly=N, b_tile=b_tile,
+                                 interpret=interpret)
+        return torus.add(acc, U64(lo, hi))
+
     def step(j, acc):
         a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
         bsk_j = jax.lax.dynamic_slice_in_dim(keys.bsk_limbs, j, 1, axis=0)[0]
@@ -246,6 +281,8 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
         diff = torus.sub(rotated, acc)
         return _external_product_accumulate(acc, diff, bsk_j, p, use_pallas)
 
+    if use_pallas and p.pbs_level == 1 and FUSED_PROLOGUE:
+        return jax.lax.fori_loop(0, p.lwe_dimension, step_pallas, acc)
     return jax.lax.fori_loop(0, p.lwe_dimension, step, acc)
 
 

@@ -150,7 +150,11 @@ class ShortintContext:
             flat = U64(jnp.concatenate([flat.lo, zlo]),
                        jnp.concatenate([flat.hi, zlo]))
             idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
-        out = pbs_batch(flat, idx, bank, self.keys)
+        # On TPU, always take the Pallas kernels (the gather-built einsum
+        # path compiles pathologically there); on CPU keep the einsum path
+        # (native XLA, no interpret overhead).
+        use_pallas = jax.default_backend() != "cpu"
+        out = pbs_batch(flat, idx, bank, self.keys, use_pallas=use_pallas)
         if padded != n:
             out = U64(out.lo[:n], out.hi[:n])
         return out

@@ -290,6 +290,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from .compat import enable_compile_cache
+    from .engine.strings import MAX_REPETITIONS
+
+    # reference src/main.rs:37-41
+    assert args.n <= MAX_REPETITIONS, (
+        "Repeat method will not function correctly, increase MAX_REPETITIONS "
+        "(max = 255)")
 
     enable_compile_cache()
 

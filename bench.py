@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--params", default="prod", choices=["prod", "test", "noisy"])
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one iteration")
     args = ap.parse_args()
 
     import jax
@@ -101,6 +103,14 @@ def main():
         out = dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu)
         sync(out)
         times.append(time.time() - t0)
+
+    if args.profile:
+        try:
+            with jax.profiler.trace(args.profile):
+                sync(dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu))
+            print(f"# profiler trace written to {args.profile}", file=sys.stderr)
+        except Exception as e:  # profiling is best-effort on remote backends
+            print(f"# profiler unavailable: {e!r}", file=sys.stderr)
     best = min(times)
     pbs_per_sec = B / best
     print(f"# best of {args.iters}: {best * 1e3:.1f} ms for B={B} "

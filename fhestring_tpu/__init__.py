@@ -14,5 +14,13 @@ from .params import (  # noqa: F401
     PARAM_TEST_ZERO_NOISE,
     CryptoParams,
 )
+from .ciphertext import (  # noqa: F401
+    Comparison,
+    FheChar,
+    FheSplit,
+    FheString,
+    FheStrip,
+    PublicParameters,
+)
 
 __version__ = "0.1.0"

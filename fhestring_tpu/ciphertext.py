@@ -15,10 +15,21 @@ Representation: a batch-first Blocks tensor — FheString ct has shape
 from __future__ import annotations
 
 import dataclasses
+import enum
 
 import jax
+import jax.numpy as jnp
 
 from .shortint import Blocks
+
+
+class Comparison(enum.Enum):
+    """Ordering selector (reference src/ciphertext/fhestring.rs:11-16)."""
+
+    LessThan = "lt"
+    LessEqual = "le"
+    GreaterThan = "gt"
+    GreaterEqual = "ge"
 
 
 @dataclasses.dataclass
@@ -39,6 +50,60 @@ class FheString:
 
     def __len__(self) -> int:
         return self.blocks.ct.lo.shape[0]
+
+    # --- structural API parity with reference fhestring.rs:19-90 ---
+    @classmethod
+    def from_chars(cls, chars: list[FheChar]) -> "FheString":
+        """from_vec (reference fhestring.rs:19-26)."""
+        from . import torus
+
+        ct = torus.stack([c.blocks.ct for c in chars], axis=0)
+        deg = max((c.blocks.degree for c in chars), default=0)
+        var = max((c.blocks.noise_var for c in chars), default=0.0)
+        return cls(Blocks(ct, deg, var))
+
+    def is_empty_buffer(self) -> bool:
+        """Public buffer emptiness (fhestring.rs:38; NOT the encrypted
+        is_empty predicate — that's ServerKey.is_empty)."""
+        return len(self) == 0
+
+    def __getitem__(self, idx) -> "FheString | FheChar":
+        """Index / Index<RangeTo> (fhestring.rs:70-90)."""
+        from .torus import U64
+
+        lo, hi = self.blocks.ct.lo, self.blocks.ct.hi
+        if isinstance(idx, slice):
+            return FheString(Blocks(U64(lo[idx], hi[idx]),
+                                    self.blocks.degree,
+                                    self.blocks.noise_var))
+        return FheChar(Blocks(U64(lo[idx], hi[idx]), self.blocks.degree,
+                              self.blocks.noise_var))
+
+    def append(self, other: "FheString") -> "FheString":
+        """Buffer concatenation (fhestring.rs:44-48). Purely structural —
+        the padding-aware concatenate lives on ServerKey."""
+        from . import torus
+
+        return FheString(Blocks(
+            torus.concatenate([self.blocks.ct, other.blocks.ct], axis=0),
+            max(self.blocks.degree, other.blocks.degree),
+            max(self.blocks.noise_var, other.blocks.noise_var)))
+
+    def push(self, c: FheChar) -> "FheString":
+        """Append one char (fhestring.rs:50-52)."""
+        from . import torus
+        from .torus import U64
+
+        cb = c.blocks.ct
+        one = U64(cb.lo[None], cb.hi[None])
+        return FheString(Blocks(
+            torus.concatenate([self.blocks.ct, one], axis=0),
+            max(self.blocks.degree, c.blocks.degree),
+            max(self.blocks.noise_var, c.blocks.noise_var)))
+
+    def chars(self) -> list[FheChar]:
+        """Iterator parity (fhestring.rs:58-68)."""
+        return [self[i] for i in range(len(self))]
 
 
 @dataclasses.dataclass

@@ -36,13 +36,7 @@ METHODS = [
 ]
 
 
-def trim_vector(v):
-    v = list(v)
-    while v and v[0] == "":
-        v.pop(0)
-    while v and v[-1] == "":
-        v.pop()
-    return v
+from .utils import trim_vector  # noqa: E402  (reference utils.rs:59-74)
 
 
 def _py_rsplit(s, p):

@@ -56,6 +56,12 @@ class ClearBackend:
     def reshape(self, x, shape):
         return x.reshape(shape)
 
+    def reshape_bits(self, x, shape):
+        return x.reshape(shape)
+
+    def shape_bits(self, x):
+        return x.shape
+
     def broadcast_to(self, x, shape):
         return np.broadcast_to(x, shape)
 
@@ -185,11 +191,18 @@ class FheBackend:
         return self.rc.trivial_bits(np.asarray(values, dtype=np.uint64))
 
     def shape(self, x: Blocks):
-        s = x.ct.lo.shape
-        # chars: [..., NB, kN+1]; bits: [..., kN+1]
-        if len(s) >= 2 and s[-2] == NB:
-            return s[:-2]
-        return s[:-1]
+        """Batch shape of a CHAR tensor ([..., NB, kN+1]).
+
+        Chars and bits are distinguished by call-site contract, never by
+        shape sniffing: a bits tensor with a dimension equal to NB (e.g. a
+        4-slot string buffer) is indistinguishable from a char tensor by
+        shape alone. Use shape_bits for bit tensors.
+        """
+        return x.ct.lo.shape[:-2]
+
+    def shape_bits(self, x: Blocks):
+        """Batch shape of a BITS tensor ([..., kN+1])."""
+        return x.ct.lo.shape[:-1]
 
     def _map(self, fn, *xs: Blocks) -> Blocks:
         from .. import torus
@@ -215,14 +228,20 @@ class FheBackend:
         return Blocks(U64(lo, hi), x.degree, x.noise_var)
 
     def reshape(self, x: Blocks, shape):
+        """Reshape the batch dims of a CHAR tensor (tail [NB, kN+1] kept)."""
         from .. import torus
-        is_chars = len(x.ct.lo.shape) >= 2 and x.ct.lo.shape[-2] == NB
-        tail = x.ct.lo.shape[-2:] if is_chars else x.ct.lo.shape[-1:]
+        tail = x.ct.lo.shape[-2:]
+        return Blocks(torus.reshape(x.ct, tuple(shape) + tail), x.degree, x.noise_var)
+
+    def reshape_bits(self, x: Blocks, shape):
+        """Reshape the batch dims of a BITS tensor (tail [kN+1] kept)."""
+        from .. import torus
+        tail = x.ct.lo.shape[-1:]
         return Blocks(torus.reshape(x.ct, tuple(shape) + tail), x.degree, x.noise_var)
 
     def broadcast_to(self, x: Blocks, shape):
-        is_chars = len(x.ct.lo.shape) >= 2 and x.ct.lo.shape[-2] == NB
-        tail = x.ct.lo.shape[-2:] if is_chars else x.ct.lo.shape[-1:]
+        """Broadcast the batch dims of a CHAR tensor."""
+        tail = x.ct.lo.shape[-2:]
         full = tuple(shape) + tail
         from ..torus import U64
         return Blocks(U64(jnp.broadcast_to(x.ct.lo, full),
@@ -261,7 +280,7 @@ class FheBackend:
         return x, y
 
     def _align_bit(self, c: Blocks, target_shape):
-        sc = self.shape(c)
+        sc = self.shape_bits(c)
         if tuple(sc) != tuple(target_shape):
             from ..torus import U64
             full = tuple(target_shape) + c.ct.lo.shape[-1:]

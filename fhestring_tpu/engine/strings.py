@@ -52,7 +52,7 @@ class StringEngine:
         """Encrypted value = weights[i] where onehot_i == 1, else default."""
         b = self.b
         miss = b.not_(b.any_axis(onehot, 0))
-        ext = b.concat([onehot, b.reshape(miss, (1,))], axis=0)
+        ext = b.concat([onehot, b.reshape_bits(miss, (1,))], axis=0)
         w = np.concatenate([np.asarray(weights, np.uint8), [default]])
         return b.weighted_onehot_sum(ext, w, axis=0)
 
@@ -74,7 +74,7 @@ class StringEngine:
         rank2 = b.reshape(rank, (L, 1))
         targets = b.trivial_chars(np.arange(1, L + 1, dtype=np.uint8).reshape(1, L))
         onehot = b.eq(rank2, targets)          # [L, L]: rank_i == j+1
-        masked = b.and_(onehot, b.reshape(nz, (L, 1)))
+        masked = b.and_(onehot, b.reshape_bits(nz, (L, 1)))
         vals = b.mul_bit(b.broadcast_to(b.reshape(s, (L, 1)), (L, L)), masked)
         return b.sum_onehot_chars(vals, axis=0)
 
@@ -265,7 +265,7 @@ class StringEngine:
         slots = np.arange(MAX_REPETITIONS, dtype=np.uint8)
         flags = b.lt(b.trivial_chars(slots), n_enc)  # broadcasts () -> [16]
         grid = b.broadcast_to(b.reshape(s, (1, L)), (MAX_REPETITIONS, L))
-        gated = b.mul_bit(grid, b.reshape(flags, (MAX_REPETITIONS, 1)))
+        gated = b.mul_bit(grid, b.reshape_bits(flags, (MAX_REPETITIONS, 1)))
         flat = b.reshape(gated, (MAX_REPETITIONS * L,))
         return self.compact_zeros_right(flat)
 
@@ -550,10 +550,10 @@ class StringEngine:
             # rsplit_pattern_matching (split.rs:10-68)
             if m == 0:
                 cur_pad = b.eq_zero(b.take(s, np.array([i]), axis=0))
-                cur_pad = b.reshape(cur_pad, ())
+                cur_pad = b.reshape_bits(cur_pad, ())
                 if i >= 1:
                     prev_nz = b.ne_zero(b.take(s, np.array([i - 1]), axis=0))
-                    prev_nz = b.reshape(prev_nz, ())
+                    prev_nz = b.reshape_bits(prev_nz, ())
                     match_eos = b.and_(prev_nz, cur_pad)
                     found = b.or_(match_eos, b.not_(cur_pad))
                 else:
@@ -645,8 +645,8 @@ class StringEngine:
         cols = []
         buffer_ids = b.trivial_chars(np.arange(L, dtype=np.uint8))
         for i in range(L):
-            ws_i = b.reshape(b.take(ws, np.array([i]), axis=0), ())
-            nws_i = b.reshape(b.take(not_ws, np.array([i]), axis=0), ())
+            ws_i = b.reshape_bits(b.take(ws, np.array([i]), axis=0), ())
+            nws_i = b.reshape_bits(b.take(not_ws, np.array([i]), axis=0), ())
             should_inc = b.and_(ws_i, b.not_(prev_ws))
             ccb = b.add_chars(ccb, self._bit_to_char(should_inc))
             onehot = b.eq(buffer_ids, ccb)

@@ -85,3 +85,28 @@ class TestFamilies:
         assert ck.decrypt_char(srv.lt(a, b)) == 1
         assert ck.decrypt_char(srv.ge(a, b)) == 0
         assert ck.decrypt_char(srv.ne(a, b)) == 1
+
+
+class TestNBCollision:
+    """Regression: buffer length == NB (4) made shape-sniffing backends
+    misread bit tensors as char tensors (e.g. 'a.b' + 1 pad)."""
+
+    def test_repeat_clear_len4(self, ctx):
+        ck, srv = ctx
+        s = ck.encrypt("a.b", 1)  # L = 4
+        assert ck.decrypt(srv.repeat_clear(s, 1)) == "a.b"
+        assert ck.decrypt(srv.repeat_clear(s, 2)) == "a.ba.b"
+
+    def test_contains_trim_len4(self, ctx):
+        ck, srv = ctx
+        s = ck.encrypt("a.b", 1)
+        assert ck.decrypt_char(srv.contains_clear(s, ".b")) == 1
+        assert ck.decrypt_char(srv.len(s)) == 3
+        assert ck.decrypt(srv.trim(ck.encrypt(" ab", 1))) == "ab"
+
+    def test_split_len4(self, ctx):
+        ck, srv = ctx
+        s = ck.encrypt("a.b", 1)
+        parts, found = ck.decrypt_split(srv.split_clear(s, "."))
+        assert [p for p in parts if p] == ["a", "b"]
+        assert found == 1

@@ -33,6 +33,11 @@ def get_keys(params, seed=0):
         sk = ref.SecretKeys(params, data["lwe_sk"], data["glwe_sk"])
         srv = ref.ServerKeys(params, data["bsk"], data["ksk"])
         return sk, srv
+    return _gen_keys(params, seed, path)
+
+
+def _gen_keys(params, seed, path):
+    from fhestring_tpu.numpy_ref import core as ref
     t0 = time.time()
     from fhestring_tpu import native
 
@@ -54,6 +59,8 @@ def main():
     ap.add_argument("--params", default="prod", choices=["prod", "test", "noisy"])
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one iteration")
+    ap.add_argument("--ntt", action="store_true",
+                    help="use the CRT-NTT external product path")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +81,20 @@ def main():
 
     sk, srv = get_keys(params)
     dev = dkeys.pack_server_keys(srv)
+    if args.ntt:
+        # cache the (expensive) NTT-domain key packing
+        npath = os.path.join(CACHE_DIR, f"keysntt_{params.name}_0.npy")
+        if os.path.exists(npath):
+            bsk_ntt = np.load(npath)
+        else:
+            t0 = time.time()
+            bsk_ntt = dkeys.pack_bsk_ntt(np.asarray(dev.bsk_limbs))
+            print(f"# NTT key packing took {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            np.save(npath, bsk_ntt)
+        import jax.numpy as jnp
+        dev = dkeys.DeviceServerKeys(dev.params, dev.bsk_limbs,
+                                     dev.ksk_limbs, jnp.asarray(bsk_ntt))
     bank = dkeys.pack_luts([[(3 * x + 1) % 16 for x in range(16)]], params)
 
     B = args.batch
@@ -92,22 +113,28 @@ def main():
         np.asarray(x.lo)
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = on_tpu and not args.ntt
+
+    def run():
+        return dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=use_pallas,
+                              use_ntt=args.ntt)
+
     t0 = time.time()
-    out = dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu)
+    out = run()
     sync(out)
     print(f"# first call (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        out = dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu)
+        out = run()
         sync(out)
         times.append(time.time() - t0)
 
     if args.profile:
         try:
             with jax.profiler.trace(args.profile):
-                sync(dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=on_tpu))
+                sync(run())
             print(f"# profiler trace written to {args.profile}", file=sys.stderr)
         except Exception as e:  # profiling is best-effort on remote backends
             print(f"# profiler unavailable: {e!r}", file=sys.stderr)

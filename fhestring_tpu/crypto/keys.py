@@ -59,10 +59,13 @@ class DeviceServerKeys:
     bsk_limbs: jnp.ndarray
     # int8 [kN*ks_level, (n+1)*8]: KSK limb planes ready for the KS matmul.
     ksk_limbs: jnp.ndarray
+    # int16 [n, 2(prime), (k+1)*ell, k+1, 8, 2N] or None: NTT-domain key
+    # limb planes (centered residues) for the CRT-NTT external product.
+    bsk_ntt: jnp.ndarray | None = None
 
 
 def _dsk_flatten(k: DeviceServerKeys):
-    return (k.bsk_limbs, k.ksk_limbs), k.params
+    return (k.bsk_limbs, k.ksk_limbs, k.bsk_ntt), k.params
 
 
 def _dsk_unflatten(params, children):
@@ -72,7 +75,23 @@ def _dsk_unflatten(params, children):
 jax.tree_util.register_pytree_node(DeviceServerKeys, _dsk_flatten, _dsk_unflatten)
 
 
-def pack_server_keys(srv: ref.ServerKeys) -> DeviceServerKeys:
+def pack_bsk_ntt(bsk_limbs: np.ndarray) -> np.ndarray:
+    """Forward-NTT the doubled BSK limb planes per CRT prime.
+
+    bsk_limbs int8 [n, R, k+1, 8, 2N] -> int16 [n, 2, R, k+1, 8, 2N]
+    (centered residues; prime axis second for cheap per-step slicing)."""
+    from . import ntt
+
+    length = bsk_limbs.shape[-1]
+    hats = []
+    for p in ntt.PRIMES:
+        plan = ntt.make_plan(p, length)
+        h = ntt.ntt_fwd(bsk_limbs.astype(np.int64), plan)
+        hats.append(h.astype(np.int16))
+    return np.stack(hats, axis=1)
+
+
+def pack_server_keys(srv: ref.ServerKeys, with_ntt: bool = False) -> DeviceServerKeys:
     p = srv.params
     # BSK: [n, R, k+1, N] u64 -> doubled [.., 2N] -> limbs [.., 2N, 8] -> move
     # the limb axis before the coefficient axis.
@@ -85,10 +104,12 @@ def pack_server_keys(srv: ref.ServerKeys) -> DeviceServerKeys:
     K = p.big_lwe_dimension * p.ks_level
     ksk_limbs = ksk.reshape(K, (p.lwe_dimension + 1) * 8)
 
+    bsk_ntt = pack_bsk_ntt(bsk_limbs) if with_ntt else None
     return DeviceServerKeys(
         params=p,
         bsk_limbs=jnp.asarray(bsk_limbs),
         ksk_limbs=jnp.asarray(ksk_limbs),
+        bsk_ntt=None if bsk_ntt is None else jnp.asarray(bsk_ntt),
     )
 
 

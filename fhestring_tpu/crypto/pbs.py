@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import os
 
@@ -115,6 +116,208 @@ def modswitch(ct: U64, p: CryptoParams) -> jnp.ndarray:
     sh = 32 - two_n_log
     r = (ct.hi >> jnp.uint32(sh)) + ((ct.hi >> jnp.uint32(sh - 1)) & jnp.uint32(1))
     return (r & jnp.uint32(2 * p.polynomial_size - 1)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# CRT-NTT external product (device, XLA): the O(N log N)-class path.
+# See crypto/ntt.py for the math; bit-identical planes to the matmul path.
+# ---------------------------------------------------------------------------
+
+# Per-prime fold constants: 2^k == c (mod p), |c| small, so
+# v -> (v >> k)*c + (v & (2^k - 1)) shrinks |v| while preserving v mod p.
+_FOLD = {40961: (17, 8189), 61441: (16, 4095)}
+
+
+def _modc(v: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Centered exact mod: int32 |v| <= 2^30 -> v mod p in (-p/2, p/2]."""
+    k, c = _FOLD[p]
+    mask = jnp.int32((1 << k) - 1)
+    for _ in range(2):
+        v = (v >> k) * c + (v & mask)
+    # |v| <= ~2^23: exact in f32; v/p never half-integer (p odd).
+    q = jnp.round(v.astype(jnp.float32) * jnp.float32(1.0 / p)).astype(jnp.int32)
+    return v - q * jnp.int32(p)
+
+
+def _fold1(v: jnp.ndarray, p: int) -> jnp.ndarray:
+    """One fold: |v| <= 2^30 -> |v| <= ~2^27, same residue (cheap, for
+    pre-sum shrinking)."""
+    k, c = _FOLD[p]
+    return (v >> k) * c + (v & jnp.int32((1 << k) - 1))
+
+
+def _split2(v: jnp.ndarray):
+    """Centered int32 |v| <= 32896 -> two balanced int8 limbs."""
+    l0 = ((v + 128) & 255) - 128
+    l1 = (v - l0) >> 8
+    return l0.astype(jnp.int8), l1.astype(jnp.int8)
+
+
+def _ntt_consts(p: int, length: int):
+    """Device constants for one (prime, L): int8 limb pairs of the stage
+    matrices + int32 twiddles."""
+    from . import ntt as nttmod
+
+    plan = nttmod.make_plan(p, length)
+
+    def limbs(m):
+        m = np.asarray(m, np.int64)
+        l0 = ((m + 128) % 256) - 128
+        l1 = (m - l0) // 256
+        assert np.all(np.abs(l1) <= 127)
+        return (jnp.asarray(l0, jnp.int8), jnp.asarray(l1, jnp.int8))
+
+    return {
+        "w1": limbs(plan.w1), "t": jnp.asarray(plan.t, jnp.int32),
+        "w2": limbs(plan.w2),
+        "w1i": limbs(plan.w1i), "ti": jnp.asarray(plan.ti, jnp.int32),
+        "w2i": limbs(plan.w2i),
+        "n1": plan.n1, "n2": plan.n2,
+    }
+
+
+def _stageA_fwd(x8: jnp.ndarray, cst, p: int) -> jnp.ndarray:
+    """x8 int8 [.., N1(j1), N2]; contract j1 with W1 -> centered [.., K1, N2]."""
+    acc = None
+    for li, wl in enumerate(cst["w1"]):
+        part = jnp.einsum("KJ,...Jt->...Kt", wl, x8,
+                          preferred_element_type=jnp.int32)
+        part = part if li == 0 else part * 256
+        acc = part if acc is None else acc + part
+    return _modc(acc, p)
+
+
+def _twiddle(y: jnp.ndarray, t: jnp.ndarray, p: int) -> jnp.ndarray:
+    return _modc(y * t, p)
+
+
+def _stageB(z: jnp.ndarray, wlimbs, p: int) -> jnp.ndarray:
+    """z centered int32 [.., K1, N2(t)]; contract t with W[C,t] (limb pairs)
+    -> centered [.., K1, C]."""
+    zl = _split2(z)
+    planes = {}
+    for lz, zli in enumerate(zl):
+        for lw, wli in enumerate(wlimbs):
+            s = lz + lw
+            part = jnp.einsum("...Kt,Ct->...KC", zli, wli,
+                              preferred_element_type=jnp.int32)
+            planes[s] = planes.get(s, 0) + part
+    t2 = _modc(planes[1] + 256 * planes[2], p)
+    return _modc(planes[0] + 256 * t2, p)
+
+
+def _stageA_inv(gl, cst, p: int) -> jnp.ndarray:
+    """g limbs (pair of int8 [.., K1, K2]); contract K2 with W2i -> centered
+    [.., K1, N2(t)]."""
+    planes = {}
+    for lg, gli in enumerate(gl):
+        for lw, wli in enumerate(cst["w2i"]):
+            s = lg + lw
+            part = jnp.einsum("...KC,Ct->...Kt", gli, wli,
+                              preferred_element_type=jnp.int32)
+            planes[s] = planes.get(s, 0) + part
+    t2 = _modc(planes[1] + 256 * planes[2], p)
+    return _modc(planes[0] + 256 * t2, p)
+
+
+def _stageB_inv(r: jnp.ndarray, cst, p: int) -> jnp.ndarray:
+    """r centered [.., K1, N2(t)]; contract K1 with W1i[J,K] -> [.., J, t]."""
+    rl = _split2(r)
+    planes = {}
+    for lr, rli in enumerate(rl):
+        for lw, wli in enumerate(cst["w1i"]):
+            s = lr + lw
+            part = jnp.einsum("JK,...Kt->...Jt", wli, rli,
+                              preferred_element_type=jnp.int32)
+            planes[s] = planes.get(s, 0) + part
+    t2 = _modc(planes[1] + 256 * planes[2], p)
+    return _modc(planes[0] + 256 * t2, p)
+
+
+def _ntt_fwd_dev(x8: jnp.ndarray, cst, p: int) -> jnp.ndarray:
+    """int8 [.., L] -> centered int32 hat [.., L]."""
+    n1, n2 = cst["n1"], cst["n2"]
+    x = x8.reshape(x8.shape[:-1] + (n1, n2))
+    y = _stageA_fwd(x, cst, p)
+    z = _twiddle(y, cst["t"], p)
+    out = _stageB(z, cst["w2"], p)
+    return out.reshape(x8.shape[:-1] + (n1 * n2,))
+
+
+def _ntt_inv_dev(ghat: jnp.ndarray, cst, p: int) -> jnp.ndarray:
+    """centered int32 [.., L] -> centered int32 coefficients [.., L]."""
+    n1, n2 = cst["n1"], cst["n2"]
+    g = ghat.reshape(ghat.shape[:-1] + (n1, n2))
+    q = _stageA_inv(_split2(g), cst, p)
+    r = _twiddle(q, cst["ti"], p)
+    out = _stageB_inv(r, cst, p)
+    return out.reshape(ghat.shape[:-1] + (n1 * n2,))
+
+
+def _ext_planes_ntt(dl: jnp.ndarray, khat_j: jnp.ndarray,
+                    p_crypto: CryptoParams) -> jnp.ndarray:
+    """CRT-NTT external product planes (bit-identical to the matmul path).
+
+    dl: int32 digit limbs [B, R, N, La] (natural c order, from _digit_limbs);
+    khat_j: int16 [2(prime), R, kp1, 8, 2N] — this step's NTT-domain key.
+    Returns int32 planes [B, kp1, 8, N].
+    """
+    from . import ntt as nttmod
+
+    N = p_crypto.polynomial_size
+    L = 2 * N
+    B, R = dl.shape[0], dl.shape[1]
+    kp1 = p_crypto.glwe_dimension + 1
+    num_la = dl.shape[-1]
+
+    d8 = jnp.transpose(dl, (3, 0, 1, 2)).astype(jnp.int8)   # [La, B, R, N]
+    dpad = jnp.concatenate(
+        [d8, jnp.zeros_like(d8)], axis=-1)                  # [La, B, R, 2N]
+
+    convs = []
+    for pi, p in enumerate(nttmod.PRIMES):
+        cst = _ntt_consts(p, L)
+        dhat = _ntt_fwd_dev(dpad, cst, p)                   # [La, B, R, L]
+        kh = khat_j[pi].astype(jnp.int32)                   # [R, kp1, 8, L]
+        groups = []
+        for s in range(8):
+            acc = None
+            for la in range(num_la):
+                lb = s - la
+                if lb < 0 or lb >= 8:
+                    continue
+                # sum over input rows i: [B, R, L] * [R, kp1, L] -> [B, kp1, L]
+                prod = jnp.einsum("bil,ijl->bjl", dhat[la], kh[:, :, lb])
+                prod = _fold1(prod, p)                       # |.| <= 2^27
+                acc = prod if acc is None else acc + prod
+            groups.append(_modc(acc, p))
+        ghat = jnp.stack(groups)                            # [8, B, kp1, L]
+        conv = _ntt_inv_dev(ghat, cst, p)[..., :N]          # [8, B, kp1, N]
+        convs.append(conv)
+
+    # centered 2-prime CRT in uint32 (values < M < 2^32)
+    P1, P2 = nttmod.PRIMES
+    M = P1 * P2
+    inv_p1 = pow(P1, P2 - 2, P2)
+    x1 = convs[0] + jnp.where(convs[0] < 0, jnp.int32(P1), 0)   # [0, P1)
+    x2c = convs[1] + jnp.where(convs[1] < 0, jnp.int32(P2), 0)  # [0, P2)
+    t = x2c - x1
+    t = t + jnp.where(t < 0, jnp.int32(P2), 0)              # [0, P2)
+    prod = t.astype(jnp.uint32) * jnp.uint32(inv_p1)        # < 2^32 exact
+    # reduce prod mod P2: folds then exact f32 rounding
+    k2, c2 = _FOLD[P2]
+    v = (prod >> k2).astype(jnp.int32) * c2 + (prod &
+                                               jnp.uint32((1 << k2) - 1)
+                                               ).astype(jnp.int32)
+    v = _fold1(v, P2)                                       # <= ~2^24
+    q = jnp.round(v.astype(jnp.float32) * jnp.float32(1.0 / P2)).astype(jnp.int32)
+    x2 = v - q * jnp.int32(P2)
+    x2 = x2 + jnp.where(x2 < 0, jnp.int32(P2), 0)           # [0, P2)
+    big = x1.astype(jnp.uint32) + jnp.uint32(P1) * x2.astype(jnp.uint32)
+    centered = jnp.where(big >= jnp.uint32(M // 2),
+                         (big - jnp.uint32(M)).astype(jnp.int32),
+                         big.astype(jnp.int32))             # (-M/2, M/2]
+    return jnp.moveaxis(centered, 0, 2)                     # [B, kp1, 8, N]
 
 
 # ---------------------------------------------------------------------------
@@ -234,12 +437,13 @@ def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
 
 
 def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
-                 use_pallas: bool = False) -> U64:
+                 use_pallas: bool = False, use_ntt: bool = False) -> U64:
     """acc: U64 [B, k+1, N]; lwe_2n: int32 [B, n+1]. Sequential over the n
     LWE coefficients (the inherently serial axis); throughput comes from B."""
     p = keys.params
     N = p.polynomial_size
-    rotate = _negacyclic_rotate_shear if use_pallas else _negacyclic_rotate
+    rotate = (_negacyclic_rotate_shear if (use_pallas or use_ntt)
+              else _negacyclic_rotate)
 
     b = lwe_2n[:, -1]
     acc = rotate(acc, (2 * N - b) & (2 * N - 1), N)
@@ -274,6 +478,17 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
                                  interpret=interpret)
         return torus.add(acc, U64(lo, hi))
 
+    def step_ntt(j, acc):
+        """CRT-NTT external product (O(N log N)-class; crypto/ntt.py)."""
+        a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
+        khat_j = jax.lax.dynamic_slice_in_dim(keys.bsk_ntt, j, 1, axis=0)[0]
+        rotated = rotate(acc, a_j, N)
+        diff = torus.sub(rotated, acc)
+        dl = _digit_limbs(diff, p)                       # [B, R, N, La]
+        planes = _ext_planes_ntt(dl, khat_j, p)
+        ext = recombine_planes(jnp.moveaxis(planes, 2, -1))
+        return torus.add(acc, ext)
+
     def step(j, acc):
         a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
         bsk_j = jax.lax.dynamic_slice_in_dim(keys.bsk_limbs, j, 1, axis=0)[0]
@@ -281,6 +496,9 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
         diff = torus.sub(rotated, acc)
         return _external_product_accumulate(acc, diff, bsk_j, p, use_pallas)
 
+    if use_ntt:
+        assert keys.bsk_ntt is not None, "pack_server_keys(with_ntt=True)"
+        return jax.lax.fori_loop(0, p.lwe_dimension, step_ntt, acc)
     if use_pallas and p.pbs_level == 1 and FUSED_PROLOGUE:
         return jax.lax.fori_loop(0, p.lwe_dimension, step_pallas, acc)
     return jax.lax.fori_loop(0, p.lwe_dimension, step, acc)
@@ -313,9 +531,10 @@ def sample_extract(acc: U64, p: CryptoParams) -> U64:
 # Full PBS
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_ntt"))
 def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
-              keys: DeviceServerKeys, use_pallas: bool = False) -> U64:
+              keys: DeviceServerKeys, use_pallas: bool = False,
+              use_ntt: bool = False) -> U64:
     """Apply per-item LUTs to a batch of big-key LWE ciphertexts.
 
     ct: U64 [B, kN+1]; lut_idx: int32 [B] into lut_bank U64 [L, 2N].
@@ -331,7 +550,7 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
     # Init accumulator: body = testpoly * X^{-b}; masks start at zero.
     b = lwe_2n[:, -1]
     sel = U64(lut_bank.lo[lut_idx], lut_bank.hi[lut_idx])  # [B, 2N]
-    if use_pallas:
+    if use_pallas or use_ntt:
         # gather-free: rotate the N-coefficient poly by (2N - b) via shear
         poly = U64(sel.lo[:, None, :N], sel.hi[:, None, :N])  # [B, 1, N]
         body = _negacyclic_rotate_shear(poly, (2 * N - b) & (2 * N - 1), N)
@@ -346,5 +565,6 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
     )
 
     lwe_nob = jnp.concatenate([lwe_2n[:, :-1], jnp.zeros((B, 1), jnp.int32)], axis=1)
-    acc = blind_rotate(acc, lwe_nob, keys, use_pallas=use_pallas)
+    acc = blind_rotate(acc, lwe_nob, keys, use_pallas=use_pallas,
+                       use_ntt=use_ntt)
     return sample_extract(acc, p)

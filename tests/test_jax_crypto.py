@@ -126,3 +126,20 @@ def test_full_pbs_batch_pallas_path_matches(ctx):
     got = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank, dev,
                                         use_pallas=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_full_pbs_batch_ntt_path_matches(ctx):
+    """use_ntt=True (CRT-NTT external product) must agree bit-exactly."""
+    p, rng, sk, srv, dev = ctx
+    from fhestring_tpu.crypto import keys as dkeys2
+
+    dev_ntt = dkeys2.pack_server_keys(srv, with_ntt=True)
+    table = [(11 * m + 2) % 16 for m in range(16)]
+    bank = dkeys2.pack_luts([table], p)
+    msgs = [0, 4, 9, 15, 2, 7, 12, 1]
+    cts = np.stack([ref.shortint_encrypt(sk, m, rng) for m in msgs])
+    idx = np.zeros(len(msgs), np.int32)
+    want = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank, dev))
+    got = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank,
+                                        dev_ntt, use_ntt=True))
+    np.testing.assert_array_equal(got, want)

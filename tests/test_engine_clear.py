@@ -334,3 +334,60 @@ class TestRandomizedParity:
             pad = int(rng.integers(1, 3))
             buffers, _ = E._split(enc(s, pad), enc(p, 0), False, False, None)
             assert trim_vector(dec_buffers(buffers)) == trim_vector(s.split(p)), (s, p)
+
+
+class TestRandomizedDifferential:
+    """Fuzz the whole method surface against Python str on random inputs
+    (the reference's oracle-differential shape, SURVEY.md section 4)."""
+
+    ALPHABET = "abcxy .Z"
+
+    def _rand(self, rng, max_len=9):
+        n = int(rng.integers(0, max_len))
+        return "".join(self.ALPHABET[i] for i in rng.integers(
+            0, len(self.ALPHABET), n))
+
+    def test_fuzz_predicates_and_search(self):
+        rng = np.random.default_rng(0)
+        for _ in range(60):
+            s = self._rand(rng)
+            p = self._rand(rng, 4)
+            pad = int(rng.integers(1, 4))
+            es, ep = enc(s, pad), enc(p, 0)
+            assert E.contains(es, ep) == (p in s), (s, p)
+            assert E.starts_with(es, ep) == s.startswith(p), (s, p)
+            assert E.ends_with(es, ep) == s.endswith(p), (s, p)
+            want_find = s.find(p)
+            assert E.find(es, ep) == (255 if want_find < 0 else want_find)
+            assert E.len(es) == len(s)
+
+    def test_fuzz_compare(self):
+        rng = np.random.default_rng(1)
+        for _ in range(40):
+            a, b = self._rand(rng), self._rand(rng)
+            ea = enc(a, int(rng.integers(1, 3)))
+            eb = enc(b, int(rng.integers(1, 3)))
+            assert E.eq_strings(ea, eb) == (a == b), (a, b)
+            assert E.compare(ea, eb, "lt") == (a < b), (a, b)
+            assert E.compare(ea, eb, "ge") == (a >= b), (a, b)
+
+    def test_fuzz_rewrite(self):
+        rng = np.random.default_rng(2)
+        for _ in range(30):
+            s = self._rand(rng)
+            f = self._rand(rng, 3) or "a"
+            t = self._rand(rng, 3)
+            es = enc(s, int(rng.integers(1, 3)))
+            got = dec(E.replace(es, enc(f, 0), enc(t, 0)))
+            assert got == s.replace(f, t), (s, f, t)
+            assert dec(E.trim(enc(s, 1))) == s.strip()
+            assert dec(E.to_upper(es)) == s.upper()
+
+    def test_fuzz_split(self):
+        rng = np.random.default_rng(3)
+        for _ in range(15):
+            s = self._rand(rng, 7)
+            p = self._rand(rng, 2) or "."
+            grid, found = E._split(enc(s, 1), enc(p, 0), False, False, None)
+            assert trim_vector(dec_buffers(grid)) == trim_vector(s.split(p)), \
+                (s, p)

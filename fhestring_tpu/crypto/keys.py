@@ -91,6 +91,24 @@ def pack_bsk_ntt(bsk_limbs: np.ndarray) -> np.ndarray:
     return np.stack(hats, axis=1)
 
 
+def pack_bsk_ntt2(bsk_limbs: np.ndarray) -> np.ndarray:
+    """Negacyclic NTT-domain key for the v2 kernel (kernels/ntt_ext.py).
+
+    bsk_limbs int8 [n, R, k+1, 8, 2N] (doubled planes; the first half IS
+    the raw polys' limb planes) -> int16 [n, 3, R, k+1, 8, n2, n1]
+    centered twisted hats with 256^lb folded in."""
+    from . import ntt2
+
+    bsk_limbs = np.asarray(bsk_limbs)
+    n = bsk_limbs.shape[-1] // 2
+    raw = bsk_limbs[..., :n]
+    hats = ntt2.key_hats(raw, n)                 # [3, n_steps, R, k+1, 8, N]
+    hats = np.moveaxis(hats, 0, 1)               # [n_steps, 3, ...]
+    n1 = min(128, n)
+    return np.ascontiguousarray(
+        hats.reshape(hats.shape[:-1] + (n // n1, n1)))
+
+
 def pack_server_keys(srv: ref.ServerKeys, with_ntt: bool = False) -> DeviceServerKeys:
     p = srv.params
     # BSK: [n, R, k+1, N] u64 -> doubled [.., 2N] -> limbs [.., 2N, 8] -> move

@@ -142,20 +142,32 @@ def make_neg_plan(p: int, n: int, num_la: int = 3) -> NegPlan:
 # NumPy reference transforms (exact int64 arithmetic)
 # ---------------------------------------------------------------------------
 
+def _bmm_exact(x: np.ndarray, mats: np.ndarray, p: int) -> np.ndarray:
+    """Exact batched modular contraction sum_j x[.., a, j] mats[a, j, k] via
+    float64 BLAS (|x|,|mats| <= p/2 < 2^16, K <= 128: sums < 2^39 << 2^53)."""
+    xf = x.astype(np.float64)
+    out = np.empty(x.shape[:-1] + (mats.shape[-1],))
+    for a in range(mats.shape[0]):
+        out[..., a, :] = xf[..., a, :] @ mats[a].astype(np.float64)
+    return _center(np.rint(out).astype(np.int64), p)
+
+
 def neg_fwd(a: np.ndarray, plan: NegPlan, la: int = 0) -> np.ndarray:
     """a int [..., N] -> centered twisted-hat [..., N] (flat h = k2*n1 + k1).
 
-    Computes NTT_n(a_j * psi^j) * 256^la, centered mod p.
+    Computes NTT_n(a_j * psi^j) * 256^la, centered mod p.  All matmuls run
+    in float64, which is exact for centered operands (products < 2^31,
+    sums over <= 128 terms < 2^39 << 2^53).
     """
     p, n1, n2 = plan.p, plan.n1, plan.n2
     x = a.reshape(a.shape[:-1] + (n2, n1)).astype(np.int64)   # [.., j2, j1]
     xt = np.swapaxes(x, -1, -2)                               # [.., j1, j2]
     # stage 1: S[j1, k2] = sum_j2 x[j1, j2] Mf[j1][j2, k2]
-    s = np.einsum("...aj,ajk->...ak", _center(xt, p), plan.mf)
-    s = _center(s, p)                                          # [.., j1, k2]
-    st = np.swapaxes(s, -1, -2)                                # [.., k2, j1]
+    s = _bmm_exact(_center(xt, p), plan.mf, p)                # [.., j1, k2]
+    st = np.swapaxes(s, -1, -2)                               # [.., k2, j1]
     # stage 2: ahat[k2, k1] = sum_j1 S[k2, j1] W1[j1, k1]
-    out = _center(st @ plan.w1[la], p)                         # [.., k2, k1]
+    prod = st.astype(np.float64) @ plan.w1[la].astype(np.float64)
+    out = _center(np.rint(prod).astype(np.int64), p)          # [.., k2, k1]
     return out.reshape(a.shape[:-1] + (plan.n,))
 
 
@@ -163,10 +175,10 @@ def neg_inv(ahat: np.ndarray, plan: NegPlan, g: int = 0) -> np.ndarray:
     """Centered hat [..., N] -> centered coefficients of sigma_g * a [..., N]."""
     p, n1, n2 = plan.p, plan.n1, plan.n2
     c = ahat.reshape(ahat.shape[:-1] + (n2, n1)).astype(np.int64)  # [.., k2, k1]
-    q = _center(_center(c, p) @ plan.w1i.T, p)                 # [.., k2, j1]
+    prod = _center(c, p).astype(np.float64) @ plan.w1i.T.astype(np.float64)
+    q = _center(np.rint(prod).astype(np.int64), p)             # [.., k2, j1]
     qt = np.swapaxes(q, -1, -2)                                # [.., j1, k2]
-    out = np.einsum("...ak,akj->...aj", qt, plan.mi[g])
-    out = _center(out, p)                                      # [.., j1, j2]
+    out = _bmm_exact(qt, plan.mi[g], p)                        # [.., j1, j2]
     out = np.swapaxes(out, -1, -2)                             # [.., j2, j1]
     return out.reshape(ahat.shape[:-1] + (plan.n,))
 

@@ -62,10 +62,13 @@ class DeviceServerKeys:
     # int16 [n, 2(prime), (k+1)*ell, k+1, 8, 2N] or None: NTT-domain key
     # limb planes (centered residues) for the CRT-NTT external product.
     bsk_ntt: jnp.ndarray | None = None
+    # int16 [n, 3(prime), (k+1)*ell, k+1, 8, n2, n1] or None: negacyclic
+    # twisted-hat key (256^lb folded) for the v2 Pallas kernel (ntt_ext.py).
+    bsk_ntt2: jnp.ndarray | None = None
 
 
 def _dsk_flatten(k: DeviceServerKeys):
-    return (k.bsk_limbs, k.ksk_limbs, k.bsk_ntt), k.params
+    return (k.bsk_limbs, k.ksk_limbs, k.bsk_ntt, k.bsk_ntt2), k.params
 
 
 def _dsk_unflatten(params, children):
@@ -109,7 +112,8 @@ def pack_bsk_ntt2(bsk_limbs: np.ndarray) -> np.ndarray:
         hats.reshape(hats.shape[:-1] + (n // n1, n1)))
 
 
-def pack_server_keys(srv: ref.ServerKeys, with_ntt: bool = False) -> DeviceServerKeys:
+def pack_server_keys(srv: ref.ServerKeys, with_ntt: bool = False,
+                     with_ntt2: bool = False) -> DeviceServerKeys:
     p = srv.params
     # BSK: [n, R, k+1, N] u64 -> doubled [.., 2N] -> limbs [.., 2N, 8] -> move
     # the limb axis before the coefficient axis.
@@ -123,11 +127,13 @@ def pack_server_keys(srv: ref.ServerKeys, with_ntt: bool = False) -> DeviceServe
     ksk_limbs = ksk.reshape(K, (p.lwe_dimension + 1) * 8)
 
     bsk_ntt = pack_bsk_ntt(bsk_limbs) if with_ntt else None
+    bsk_ntt2 = pack_bsk_ntt2(bsk_limbs) if with_ntt2 else None
     return DeviceServerKeys(
         params=p,
         bsk_limbs=jnp.asarray(bsk_limbs),
         ksk_limbs=jnp.asarray(ksk_limbs),
         bsk_ntt=None if bsk_ntt is None else jnp.asarray(bsk_ntt),
+        bsk_ntt2=None if bsk_ntt2 is None else jnp.asarray(bsk_ntt2),
     )
 
 

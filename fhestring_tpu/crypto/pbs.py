@@ -447,13 +447,21 @@ def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
     return torus.add(acc, ext)
 
 
+@functools.lru_cache(maxsize=None)
+def _neg_consts_cached(n: int, num_la: int):
+    from .kernels.ntt_ext import pack_neg_consts
+
+    return pack_neg_consts(n, num_la)
+
+
 def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
-                 use_pallas: bool = False, use_ntt: bool = False) -> U64:
+                 use_pallas: bool = False, use_ntt: bool = False,
+                 use_ntt2: bool = False) -> U64:
     """acc: U64 [B, k+1, N]; lwe_2n: int32 [B, n+1]. Sequential over the n
     LWE coefficients (the inherently serial axis); throughput comes from B."""
     p = keys.params
     N = p.polynomial_size
-    rotate = (_negacyclic_rotate_shear if (use_pallas or use_ntt)
+    rotate = (_negacyclic_rotate_shear if (use_pallas or use_ntt or use_ntt2)
               else _negacyclic_rotate)
 
     b = lwe_2n[:, -1]
@@ -500,6 +508,30 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
         ext = recombine_planes(jnp.moveaxis(planes, 2, -1))
         return torus.add(acc, ext)
 
+    def step_ntt2(j, acc):
+        """Fused prologue + negacyclic CRT-NTT Pallas kernel (the v2 hot
+        path; kernels/ntt_ext.py)."""
+        from .kernels.ntt_ext import ntt_ext_u64
+        from .kernels.rotate_decompose import rotate_diff_decompose
+
+        a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
+        khat_j = jax.lax.dynamic_slice_in_dim(keys.bsk_ntt2, j, 1, axis=0)[0]
+        num_la = (p.pbs_base_log + 8) // 8
+        interpret = jax.default_backend() == "cpu"
+        dl = rotate_diff_decompose(
+            acc.lo, acc.hi, a_j, n_poly=N, base_log=p.pbs_base_log,
+            num_la=num_la, interpret=interpret)  # [La, B, (k+1)N], natural c
+        B = dl.shape[1]
+        nb = 128 // (N // 128)  # items packed per 128-row chunk
+        bp = -(-B // nb) * nb
+        if bp != B:
+            dl = jnp.pad(dl, ((0, 0), (0, bp - B), (0, 0)))
+        consts = _neg_consts_cached(N, num_la)
+        lo, hi = ntt_ext_u64(dl, khat_j, consts, n_poly=N,
+                             interpret=interpret)
+        kp1 = p.glwe_dimension + 1
+        return torus.add(acc, U64(lo[:B], hi[:B]))
+
     def step(j, acc):
         a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
         bsk_j = jax.lax.dynamic_slice_in_dim(keys.bsk_limbs, j, 1, axis=0)[0]
@@ -507,6 +539,10 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
         diff = torus.sub(rotated, acc)
         return _external_product_accumulate(acc, diff, bsk_j, p, use_pallas)
 
+    if use_ntt2:
+        assert keys.bsk_ntt2 is not None, "pack_server_keys(with_ntt2=True)"
+        assert p.pbs_level == 1, "ntt2 path assumes ell=1 (prologue kernel)"
+        return jax.lax.fori_loop(0, p.lwe_dimension, step_ntt2, acc)
     if use_ntt:
         assert keys.bsk_ntt is not None, "pack_server_keys(with_ntt=True)"
         return jax.lax.fori_loop(0, p.lwe_dimension, step_ntt, acc)
@@ -542,10 +578,11 @@ def sample_extract(acc: U64, p: CryptoParams) -> U64:
 # Full PBS
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "use_ntt"))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_ntt",
+                                              "use_ntt2"))
 def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
               keys: DeviceServerKeys, use_pallas: bool = False,
-              use_ntt: bool = False) -> U64:
+              use_ntt: bool = False, use_ntt2: bool = False) -> U64:
     """Apply per-item LUTs to a batch of big-key LWE ciphertexts.
 
     ct: U64 [B, kN+1]; lut_idx: int32 [B] into lut_bank U64 [L, 2N].
@@ -561,7 +598,7 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
     # Init accumulator: body = testpoly * X^{-b}; masks start at zero.
     b = lwe_2n[:, -1]
     sel = U64(lut_bank.lo[lut_idx], lut_bank.hi[lut_idx])  # [B, 2N]
-    if use_pallas or use_ntt:
+    if use_pallas or use_ntt or use_ntt2:
         # gather-free: rotate the N-coefficient poly by (2N - b) via shear
         poly = U64(sel.lo[:, None, :N], sel.hi[:, None, :N])  # [B, 1, N]
         body = _negacyclic_rotate_shear(poly, (2 * N - b) & (2 * N - 1), N)
@@ -577,5 +614,5 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
 
     lwe_nob = jnp.concatenate([lwe_2n[:, :-1], jnp.zeros((B, 1), jnp.int32)], axis=1)
     acc = blind_rotate(acc, lwe_nob, keys, use_pallas=use_pallas,
-                       use_ntt=use_ntt)
+                       use_ntt=use_ntt, use_ntt2=use_ntt2)
     return sample_extract(acc, p)

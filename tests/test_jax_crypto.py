@@ -143,3 +143,21 @@ def test_full_pbs_batch_ntt_path_matches(ctx):
     got = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank,
                                         dev_ntt, use_ntt=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_full_pbs_batch_ntt2_path_matches(ctx):
+    """use_ntt2=True (negacyclic CRT-NTT Pallas kernel, interpreted on CPU)
+    must agree bit-exactly with the einsum path."""
+    p, rng, sk, srv, dev = ctx
+    from fhestring_tpu.crypto import keys as dkeys2
+
+    dev_ntt2 = dkeys2.pack_server_keys(srv, with_ntt2=True)
+    table = [(5 * m + 7) % 16 for m in range(16)]
+    bank = dkeys2.pack_luts([table], p)
+    msgs = [0, 4, 9, 15, 2, 7, 12, 1]
+    cts = np.stack([ref.shortint_encrypt(sk, m, rng) for m in msgs])
+    idx = np.zeros(len(msgs), np.int32)
+    want = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank, dev))
+    got = torus.to_numpy(dpbs.pbs_batch(torus.from_numpy(cts), idx, bank,
+                                        dev_ntt2, use_ntt2=True))
+    np.testing.assert_array_equal(got, want)

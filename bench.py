@@ -61,6 +61,8 @@ def main():
                     help="capture a jax.profiler trace of one iteration")
     ap.add_argument("--ntt", action="store_true",
                     help="use the CRT-NTT external product path")
+    ap.add_argument("--ntt2", action="store_true",
+                    help="use the negacyclic CRT-NTT Pallas kernel path")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +83,20 @@ def main():
 
     sk, srv = get_keys(params)
     dev = dkeys.pack_server_keys(srv)
+    if args.ntt2:
+        npath = os.path.join(CACHE_DIR, f"keysntt2_{params.name}_0.npy")
+        if os.path.exists(npath):
+            bsk_ntt2 = np.load(npath)
+        else:
+            t0 = time.time()
+            bsk_ntt2 = dkeys.pack_bsk_ntt2(np.asarray(dev.bsk_limbs))
+            print(f"# NTT2 key packing took {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            np.save(npath, bsk_ntt2)
+        import jax.numpy as jnp
+        dev = dkeys.DeviceServerKeys(dev.params, dev.bsk_limbs,
+                                     dev.ksk_limbs, None,
+                                     jnp.asarray(bsk_ntt2))
     if args.ntt:
         # cache the (expensive) NTT-domain key packing
         npath = os.path.join(CACHE_DIR, f"keysntt_{params.name}_0.npy")
@@ -113,11 +129,11 @@ def main():
         np.asarray(x.lo)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    use_pallas = on_tpu and not args.ntt
+    use_pallas = on_tpu and not (args.ntt or args.ntt2)
 
     def run():
         return dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=use_pallas,
-                              use_ntt=args.ntt)
+                              use_ntt=args.ntt, use_ntt2=args.ntt2)
 
     t0 = time.time()
     out = run()

@@ -236,7 +236,8 @@ def _shl64(lo, hi, s: int):
 
 def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
                     ti_ref, wblki_ref, lo_ref, hi_ref, dhat_ref, res_ref, *,
-                    n: int, bt: int, num_la: int, num_r: int, kp1: int):
+                    n: int, bt: int, num_la: int, num_r: int, kp1: int,
+                    ablate: str = ""):
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     C = bt * n // (LANE * LANE)
@@ -261,49 +262,60 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
 
     for pi, p in enumerate(PRIMES3):
         # ---- forward: stage 1 (blockdiag) + twiddle + T2 + stage 2 -------
-        s_raw = (_dot8(A, wblkf_ref[pi, 0]).astype(jnp.int32)
-                 + 256 * _dot8(A, wblkf_ref[pi, 1]))
-        s = _modc(s_raw, (1 << 21) + (1 << 29), p)
-        s = s.reshape(num_la, num_r * C, LANE, LANE)       # rows j1
-        dhat_planes = []
-        for la in range(num_la):
-            z = s[la] * tf_ref[pi, la][None]               # |.| <= (p/2)^2
-            z = _modc(z, HALF[pi] * HALF[pi], p)
-            zt = jnp.swapaxes(z, 1, 2)                     # [(b8,k2), j1]
-            d = _stage_dots(zt.reshape(num_r * C * LANE, LANE),
-                            w1f_ref[pi], HALF[pi], p)
-            dhat_planes.append(d.reshape(num_r, C, LANE, LANE))
-        dhat_ref[...] = jnp.stack(dhat_planes)             # [La, R, C, .., ..]
+        if "fwd" in ablate:
+            dhat_ref[...] = A.astype(jnp.int32).reshape(
+                num_la, num_r, C, LANE, LANE)
+        else:
+            s_raw = (_dot8(A, wblkf_ref[pi, 0]).astype(jnp.int32)
+                     + 256 * _dot8(A, wblkf_ref[pi, 1]))
+            s = _modc(s_raw, (1 << 21) + (1 << 29), p)
+            s = s.reshape(num_la, num_r * C, LANE, LANE)   # rows j1
+            dhat_planes = []
+            for la in range(num_la):
+                z = s[la] * tf_ref[pi, la][None]           # |.| <= (p/2)^2
+                z = _modc(z, HALF[pi] * HALF[pi], p)
+                zt = jnp.swapaxes(z, 1, 2)                 # [(b8,k2), j1]
+                d = _stage_dots(zt.reshape(num_r * C * LANE, LANE),
+                                w1f_ref[pi], HALF[pi], p)
+                dhat_planes.append(d.reshape(num_r, C, LANE, LANE))
+            dhat_ref[...] = jnp.stack(dhat_planes)         # [La, R, C, .., ..]
 
         # ---- pointwise + group scale ------------------------------------
-        uhats = []
-        for jout in range(kp1):
-            for g in range(NUM_GROUPS):
-                acc = _Acc(p)
-                pb = HALF[pi] * HALF[pi]
-                for (la, lb) in pairs[g]:
-                    for i in range(num_r):
-                        kh = khat_ref[pi, i, jout, lb].astype(jnp.int32)
-                        kt = jnp.broadcast_to(kh[None], (nb, n2, n1))
-                        kt = kt.reshape(LANE, LANE)
-                        acc.add(dhat_ref[la, i] * kt[None], pb)
-                u = acc.centered()
-                if g:
-                    sc = _center(np.array(pow(pow(256, 3 * g, p), p - 2, p)),
-                                 p)
-                    u = _modc(u * np.int32(sc), HALF[pi] * HALF[pi], p)
-                uhats.append(u)                            # [C, (b8,k2), k1]
-        uall = jnp.stack(uhats)                            # [kp1*G, C, .., ..]
+        if "pw" in ablate:
+            uall = jnp.broadcast_to(
+                dhat_ref[0, 0][None], (kp1 * NUM_GROUPS, C, LANE, LANE))
+        else:
+            uhats = []
+            for jout in range(kp1):
+                for g in range(NUM_GROUPS):
+                    acc = _Acc(p)
+                    pb = HALF[pi] * HALF[pi]
+                    for (la, lb) in pairs[g]:
+                        for i in range(num_r):
+                            kh = khat_ref[pi, i, jout, lb].astype(jnp.int32)
+                            kt = jnp.broadcast_to(kh[None], (nb, n2, n1))
+                            kt = kt.reshape(LANE, LANE)
+                            acc.add(dhat_ref[la, i] * kt[None], pb)
+                    u = acc.centered()
+                    if g:
+                        sc = _center(
+                            np.array(pow(pow(256, 3 * g, p), p - 2, p)), p)
+                        u = _modc(u * np.int32(sc), HALF[pi] * HALF[pi], p)
+                    uhats.append(u)                        # [C, (b8,k2), k1]
+            uall = jnp.stack(uhats)                        # [kp1*G, C, .., ..]
 
         # ---- inverse: dense + twiddle + T3 + blockdiag --------------------
-        q = _stage_dots(uall.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
-                        w1i_ref[pi], HALF[pi], p)
-        q = q.reshape(kp1 * NUM_GROUPS * C, LANE, LANE)    # rows (b8,k2)
-        qt = jnp.swapaxes(q, 1, 2)                         # rows j1
-        r = _modc(qt * ti_ref[pi][None], HALF[pi] * HALF[pi], p)
-        res = _stage_dots(r.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
-                          wblki_ref[pi], HALF[pi], p)
-        res_ref[pi] = res.reshape(kp1, NUM_GROUPS, C, LANE, LANE)
+        if "inv" in ablate:
+            res_ref[pi] = uall.reshape(kp1, NUM_GROUPS, C, LANE, LANE)
+        else:
+            q = _stage_dots(uall.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
+                            w1i_ref[pi], HALF[pi], p)
+            q = q.reshape(kp1 * NUM_GROUPS * C, LANE, LANE)  # rows (b8,k2)
+            qt = jnp.swapaxes(q, 1, 2)                     # rows j1
+            r = _modc(qt * ti_ref[pi][None], HALF[pi] * HALF[pi], p)
+            res = _stage_dots(r.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
+                              wblki_ref[pi], HALF[pi], p)
+            res_ref[pi] = res.reshape(kp1, NUM_GROUPS, C, LANE, LANE)
 
     # ---- CRT + u64 recombine + output transpose ---------------------------
     P1, P2, P3 = PRIMES3
@@ -315,6 +327,12 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
     M3H, M3L = M3 >> 32, M3 & 0xFFFFFFFF
 
     for jout in range(kp1):
+        if "crt" in ablate:
+            v = res_ref[0, jout, 0].astype(jnp.uint32)
+            for out_ref in (lo_ref, hi_ref):
+                out_ref[:, jout * n:(jout + 1) * n] = (
+                    jnp.swapaxes(v, 1, 2).reshape(bt, n))
+            continue
         elo = ehi = None
         for g in range(NUM_GROUPS):
             v1 = res_ref[0, jout, g]
@@ -362,9 +380,11 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
             out_ref[:, jout * n:(jout + 1) * n] = nat
 
 
-@functools.partial(jax.jit, static_argnames=("n_poly", "b_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_poly", "b_tile", "interpret",
+                                              "ablate"))
 def ntt_ext_u64(dl: jnp.ndarray, khat_j: jnp.ndarray, consts: dict, *,
-                n_poly: int, b_tile: int = 128, interpret: bool = False):
+                n_poly: int, b_tile: int = 128, interpret: bool = False,
+                ablate: str = ""):
     """Pallas entry.
 
     dl: int8 [La, B, R*N] digit limbs, natural coefficient order;
@@ -391,7 +411,7 @@ def ntt_ext_u64(dl: jnp.ndarray, khat_j: jnp.ndarray, consts: dict, *,
     kh6 = khat_j
     lo, hi = pl.pallas_call(
         functools.partial(_ntt_ext_kernel, n=n, bt=bt, num_la=num_la,
-                          num_r=num_r, kp1=kp1),
+                          num_r=num_r, kp1=kp1, ablate=ablate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((num_la, bt, kn), lambda i: (0, i, 0),

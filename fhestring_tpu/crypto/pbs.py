@@ -485,7 +485,8 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
         interpret = jax.default_backend() == "cpu"
         dl = rotate_diff_decompose(
             acc.lo, acc.hi, a_j, n_poly=N, base_log=p.pbs_base_log,
-            num_la=num_la, interpret=interpret)  # [La, B, (k+1)N], natural c
+            num_la=num_la, b_tile=128,
+            interpret=interpret)  # [La, B, (k+1)N], natural c
         B = dl.shape[1]
         kp1 = p.glwe_dimension + 1
         # reverse c within each i block (one fused XLA pass)
@@ -520,7 +521,8 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
         interpret = jax.default_backend() == "cpu"
         dl = rotate_diff_decompose(
             acc.lo, acc.hi, a_j, n_poly=N, base_log=p.pbs_base_log,
-            num_la=num_la, interpret=interpret)  # [La, B, (k+1)N], natural c
+            num_la=num_la, b_tile=128,
+            interpret=interpret)  # [La, B, (k+1)N], natural c
         B = dl.shape[1]
         nb = 128 // (N // 128)  # items packed per 128-row chunk
         bp = -(-B // nb) * nb

@@ -1,9 +1,10 @@
 """Microbenchmark: per-kernel timing of the ntt2 blind-rotation step.
 
-Times rotate_diff_decompose and ntt_ext_u64 separately (and ablations of
-the latter) at production shapes, to locate the bottleneck.
+Runs each kernel inside a jitted lax.fori_loop (mirroring the real PBS
+structure — one XLA program, no per-call remote dispatch overhead) and
+reports per-step wall clock.  Ablations isolate kernel phases.
 
-Usage: python benchmarks/micro_ntt.py [--batch 1024] [--reps 30]
+Usage: python benchmarks/micro_ntt.py [--batch 1024] [--steps 200]
 """
 
 import argparse
@@ -20,7 +21,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ablate", default="",
                     help="comma-separated ablate strings to also time")
     args = ap.parse_args()
@@ -39,6 +41,7 @@ def main():
     p = P.PARAM_PROD
     N, R, kp1, La = p.polynomial_size, 2, 2, 3
     B = args.batch
+    S = args.steps
     rng = np.random.default_rng(0)
 
     acc_lo = jnp.asarray(rng.integers(0, 1 << 32, (B, kp1, N), dtype=np.uint64)
@@ -46,32 +49,58 @@ def main():
     acc_hi = jnp.asarray(rng.integers(0, 1 << 32, (B, kp1, N), dtype=np.uint64)
                          .astype(np.uint32))
     amt = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
-    dl = jnp.asarray(rng.integers(-128, 128, (La, B, R * N)).astype(np.int8))
+    dl0 = jnp.asarray(rng.integers(-128, 128, (La, B, R * N)).astype(np.int8))
     khat = jnp.asarray(rng.integers(-30000, 30000,
                                     (3, R, kp1, 8, N // 128, 128))
                        .astype(np.int16))
     consts = pack_neg_consts(N, La)
 
-    def timeit(name, fn):
-        out = fn()
-        jax.block_until_ready(out)
-        _ = np.asarray(jax.tree.leaves(out)[0])  # host fetch fence
-        t0 = time.time()
-        for _ in range(args.reps):
-            out = fn()
+    def timeit(name, fn, *args_):
+        out = fn(*args_)
         jax.block_until_ready(out)
         _ = np.asarray(jax.tree.leaves(out)[0])
-        dt = (time.time() - t0) / args.reps
-        print(f"{name:28s} {dt*1e3:8.3f} ms  ({dt/B*1e6:.3f} us/item)")
-        return dt
+        best = 1e9
+        for _ in range(args.reps):
+            t0 = time.time()
+            out = fn(*args_)
+            jax.block_until_ready(out)
+            _ = np.asarray(jax.tree.leaves(out)[0])
+            best = min(best, time.time() - t0)
+        per_step = best / S
+        print(f"{name:28s} {per_step*1e3:8.3f} ms/step "
+              f"({per_step/B*1e9:7.1f} ns/item/step)")
+        return per_step
 
-    timeit("rotate_diff_decompose", lambda: rotate_diff_decompose(
-        acc_lo, acc_hi, amt, n_poly=N, base_log=p.pbs_base_log,
-        num_la=La, b_tile=128))
-    timeit("ntt_ext_u64", lambda: ntt_ext_u64(dl, khat, consts, n_poly=N))
+    @jax.jit
+    def loop_prologue(lo, hi, a):
+        def body(i, carry):
+            lo, hi = carry
+            dl = rotate_diff_decompose(lo, hi, a + i, n_poly=N,
+                                       base_log=p.pbs_base_log, num_la=La,
+                                       b_tile=128)
+            # feed back so steps are sequential
+            lo = lo + dl[0].reshape(B, kp1, N).astype(jnp.uint32)
+            return lo, hi
+        lo, hi = jax.lax.fori_loop(0, S, body, (lo, hi))
+        return jnp.sum(lo, dtype=jnp.uint32)  # tiny host fetch
+
+    timeit("prologue x%d" % S, loop_prologue, acc_lo, acc_hi, amt)
+
+    def make_loop_ntt(ablate):
+        @jax.jit
+        def loop_ntt(dl):
+            def body(i, dl):
+                lo, hi = ntt_ext_u64(dl, khat, consts, n_poly=N,
+                                     ablate=ablate)
+                d = lo.reshape(B, R * N).astype(jnp.int8)
+                return dl + d[None]
+            out = jax.lax.fori_loop(0, S, body, dl)
+            return jnp.sum(out.astype(jnp.int32), dtype=jnp.int32)
+        return loop_ntt
+
+    timeit("ntt_ext x%d" % S, make_loop_ntt(""), dl0)
     for ab in [a for a in args.ablate.split(",") if a]:
-        timeit(f"ntt_ext_u64[{ab}]", lambda ab=ab: ntt_ext_u64(
-            dl, khat, consts, n_poly=N, ablate=ab))
+        timeit(f"ntt_ext[{ab}] x%d" % S, make_loop_ntt(ab), dl0)
 
 
 if __name__ == "__main__":

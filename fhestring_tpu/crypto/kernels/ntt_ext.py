@@ -153,20 +153,28 @@ def pack_neg_consts(n: int, num_la: int = 3):
 # In-kernel exact modular helpers (static bound tracking)
 # ---------------------------------------------------------------------------
 
-def _fold(v, bound: int, p: int):
-    k, c = _FOLDS[p]
-    mask = (1 << k) - 1
-    # for v < 0 the arithmetic shift floors, adding up to one extra c
-    return (v >> k) * c + (v & mask), ((bound >> k) + 1) * c + mask
+def _modc_f(v, bound: int, p: int):
+    """One-multiply approximate Barrett reduction: v' == v (mod p) with
+    |v'| <= ~0.51*p, computed as v - round(fl(v)*fl(1/p))*p in exact int32.
+
+    The f32 quotient may be off by eps <= (bound/p)*2^-22 + 2^-22; that only
+    widens the output bound (p*(0.5+eps)), never breaks the residue.
+    Returns (v', new_bound)."""
+    assert bound <= INT32_SAFE - 3 * p, bound
+    q = jnp.round(v.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
+    out = v - q * np.int32(p)
+    qerr = (bound / p) * 2.0 ** -22 + 2.0 ** -22
+    return out, int(p * (0.5 + qerr)) + 2
 
 
 def _modc(v, bound: int, p: int):
-    """Exact centered reduction mod p given static |v| <= bound <= 2^31-1."""
-    assert bound <= INT32_SAFE
-    while bound > (1 << 21):
-        v, bound = _fold(v, bound, p)
-    q = jnp.round(v.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
-    return v - q * np.int32(p)
+    """Exact centered reduction mod p: |out| <= (p-1)/2."""
+    v, nb = _modc_f(v, bound, p)
+    if nb > (p - 1) // 2:
+        half = np.int32((p - 1) // 2)
+        v = v - jnp.where(v > half, np.int32(p), 0)
+        v = v + jnp.where(v < -half, np.int32(p), 0)
+    return v
 
 
 def _split2(v):
@@ -180,18 +188,22 @@ def _dot8(a8, w8):
     return jax.lax.dot(a8, w8, preferred_element_type=jnp.int32)
 
 
-def _horner4(p00, p01, p10, p11, p: int):
-    """Exact recombine of 4 limb-pair dot planes (each |.| <= 2^21)."""
-    t = _modc(p01 + p10 + 256 * p11, (1 << 22) + (1 << 29), p)
-    return _modc(p00 + 256 * t, (1 << 21) + 256 * (p // 2), p)
+def _horner4(p00, p01, p10, p11, p: int, exact: bool):
+    """Recombine 4 limb-pair dot planes (each |.| <= 2^21), mod p."""
+    t, tb = _modc_f(p01 + p10 + 256 * p11, (1 << 22) + (1 << 29), p)
+    v = p00 + 256 * t
+    b = (1 << 21) + 256 * tb
+    if exact:
+        return _modc(v, b, p), (p - 1) // 2
+    return _modc_f(v, b, p)
 
 
-def _stage_dots(z32, wl, bound: int, p: int):
-    """Centered int32 [M, 128] (|.| <= p/2) x int16-limb weights -> centered
-    int32 [M, 128]."""
+def _stage_dots(z32, wl, p: int, exact: bool = False):
+    """Near-centered int32 [M, 128] (|.| <= ~0.51p, split2-safe) x int16-limb
+    weights -> int32 [M, 128] (centered if exact, else ~0.51p)."""
     z0, z1 = _split2(z32)
     return _horner4(_dot8(z0, wl[0]), _dot8(z0, wl[1]),
-                    _dot8(z1, wl[0]), _dot8(z1, wl[1]), p)
+                    _dot8(z1, wl[0]), _dot8(z1, wl[1]), p, exact)
 
 
 class _Acc:
@@ -204,13 +216,13 @@ class _Acc:
         if self.v is None:
             self.v, self.bound = term, term_bound
             return
-        while self.bound + term_bound > INT32_SAFE:
-            self.v, self.bound = _fold(self.v, self.bound, self.p)
+        if self.bound + term_bound > INT32_SAFE - 3 * self.p:
+            self.v, self.bound = _modc_f(self.v, self.bound, self.p)
         self.v = self.v + term
         self.bound += term_bound
 
-    def centered(self):
-        return _modc(self.v, self.bound, self.p)
+    def fast(self):
+        return _modc_f(self.v, self.bound, self.p)
 
 
 # ---------------------------------------------------------------------------
@@ -268,15 +280,16 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
         else:
             s_raw = (_dot8(A, wblkf_ref[pi, 0]).astype(jnp.int32)
                      + 256 * _dot8(A, wblkf_ref[pi, 1]))
-            s = _modc(s_raw, (1 << 21) + (1 << 29), p)
+            s, sb = _modc_f(s_raw, (1 << 21) + (1 << 29), p)
             s = s.reshape(num_la, num_r * C, LANE, LANE)   # rows j1
             dhat_planes = []
+            db = 0
             for la in range(num_la):
-                z = s[la] * tf_ref[pi, la][None]           # |.| <= (p/2)^2
-                z = _modc(z, HALF[pi] * HALF[pi], p)
+                z = s[la] * tf_ref[pi, la][None]
+                z, _ = _modc_f(z, sb * ((p - 1) // 2), p)  # split2-safe
                 zt = jnp.swapaxes(z, 1, 2)                 # [(b8,k2), j1]
-                d = _stage_dots(zt.reshape(num_r * C * LANE, LANE),
-                                w1f_ref[pi], HALF[pi], p)
+                d, db = _stage_dots(zt.reshape(num_r * C * LANE, LANE),
+                                    w1f_ref[pi], p)
                 dhat_planes.append(d.reshape(num_r, C, LANE, LANE))
             dhat_ref[...] = jnp.stack(dhat_planes)         # [La, R, C, .., ..]
 
@@ -286,21 +299,24 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
                 dhat_ref[0, 0][None], (kp1 * NUM_GROUPS, C, LANE, LANE))
         else:
             uhats = []
+            if "fwd" in ablate:
+                db = 128  # ablation fills dhat with raw int8 casts
+            pb = db * ((p - 1) // 2)
             for jout in range(kp1):
                 for g in range(NUM_GROUPS):
                     acc = _Acc(p)
-                    pb = HALF[pi] * HALF[pi]
                     for (la, lb) in pairs[g]:
                         for i in range(num_r):
                             kh = khat_ref[pi, i, jout, lb].astype(jnp.int32)
                             kt = jnp.broadcast_to(kh[None], (nb, n2, n1))
                             kt = kt.reshape(LANE, LANE)
                             acc.add(dhat_ref[la, i] * kt[None], pb)
-                    u = acc.centered()
+                    u, ub = acc.fast()
                     if g:
                         sc = _center(
                             np.array(pow(pow(256, 3 * g, p), p - 2, p)), p)
-                        u = _modc(u * np.int32(sc), HALF[pi] * HALF[pi], p)
+                        u, ub = _modc_f(u * np.int32(sc),
+                                        ub * ((p - 1) // 2), p)
                     uhats.append(u)                        # [C, (b8,k2), k1]
             uall = jnp.stack(uhats)                        # [kp1*G, C, .., ..]
 
@@ -308,13 +324,15 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
         if "inv" in ablate:
             res_ref[pi] = uall.reshape(kp1, NUM_GROUPS, C, LANE, LANE)
         else:
-            q = _stage_dots(uall.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
-                            w1i_ref[pi], HALF[pi], p)
+            q, qb = _stage_dots(
+                uall.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
+                w1i_ref[pi], p)
             q = q.reshape(kp1 * NUM_GROUPS * C, LANE, LANE)  # rows (b8,k2)
             qt = jnp.swapaxes(q, 1, 2)                     # rows j1
-            r = _modc(qt * ti_ref[pi][None], HALF[pi] * HALF[pi], p)
-            res = _stage_dots(r.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
-                              wblki_ref[pi], HALF[pi], p)
+            r, _ = _modc_f(qt * ti_ref[pi][None], qb * ((p - 1) // 2), p)
+            res, _ = _stage_dots(
+                r.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
+                wblki_ref[pi], p, exact=True)
             res_ref[pi] = res.reshape(kp1, NUM_GROUPS, C, LANE, LANE)
 
     # ---- CRT + u64 recombine + output transpose ---------------------------

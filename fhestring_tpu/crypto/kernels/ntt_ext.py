@@ -190,8 +190,8 @@ def _dot8(a8, w8):
 
 def _horner4(p00, p01, p10, p11, p: int, exact: bool):
     """Recombine 4 limb-pair dot planes (each |.| <= 2^21), mod p."""
-    t, tb = _modc_f(p01 + p10 + 256 * p11, (1 << 22) + (1 << 29), p)
-    v = p00 + 256 * t
+    t, tb = _modc_f(p01 + p10 + (p11 << 8), (1 << 22) + (1 << 29), p)
+    v = p00 + (t << 8)
     b = (1 << 21) + 256 * tb
     if exact:
         return _modc(v, b, p), (p - 1) // 2
@@ -279,7 +279,7 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
                 num_la, num_r, C, LANE, LANE)
         else:
             s_raw = (_dot8(A, wblkf_ref[pi, 0]).astype(jnp.int32)
-                     + 256 * _dot8(A, wblkf_ref[pi, 1]))
+                     + (_dot8(A, wblkf_ref[pi, 1]) << 8))
             s, sb = _modc_f(s_raw, (1 << 21) + (1 << 29), p)
             s = s.reshape(num_la, num_r * C, LANE, LANE)   # rows j1
             dhat_planes = []

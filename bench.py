@@ -63,6 +63,8 @@ def main():
                     help="use the CRT-NTT external product path")
     ap.add_argument("--ntt2", action="store_true",
                     help="use the negacyclic CRT-NTT Pallas kernel path")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused whole-blind-rotation kernel")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +85,7 @@ def main():
 
     sk, srv = get_keys(params)
     dev = dkeys.pack_server_keys(srv)
-    if args.ntt2:
+    if args.ntt2 or args.fused:
         npath = os.path.join(CACHE_DIR, f"keysntt2_{params.name}_0.npy")
         if os.path.exists(npath):
             bsk_ntt2 = np.load(npath)
@@ -129,11 +131,12 @@ def main():
         np.asarray(x.lo)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    use_pallas = on_tpu and not (args.ntt or args.ntt2)
+    use_pallas = on_tpu and not (args.ntt or args.ntt2 or args.fused)
 
     def run():
         return dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=use_pallas,
-                              use_ntt=args.ntt, use_ntt2=args.ntt2)
+                              use_ntt=args.ntt, use_ntt2=args.ntt2,
+                              use_fused=args.fused)
 
     t0 = time.time()
     out = run()

@@ -242,6 +242,51 @@ def _shl64(lo, hi, s: int):
     return jnp.zeros_like(lo), lo << (s - 32)
 
 
+def crt3_u64(v1, v2, v3):
+    """Exact 3-prime CRT to u64 limbs: centered int32 residues ->
+    (lo, hi) uint32 of the centered integer mod 2^64."""
+    P1, P2, P3 = PRIMES3
+    INV_P1_P2 = pow(P1, P2 - 2, P2)
+    INV_P12_P3 = pow(P1 * P2 % P3, P3 - 2, P3)
+    C_LO, C_HI = (P1 * P2) & 0xFFFF, (P1 * P2) >> 16
+    T_PLUS1 = (M3 + 1) // 2
+    TH, TL = T_PLUS1 >> 32, T_PLUS1 & 0xFFFFFFFF
+    M3H, M3L = M3 >> 32, M3 & 0xFFFFFFFF
+
+    x1 = v1 + jnp.where(v1 < 0, np.int32(P1), 0)
+    t2 = v2 - x1
+    t2 = t2 + jnp.where(t2 < 0, np.int32(P2), 0)
+    x2 = _modc(t2 * np.int32(INV_P1_P2), (P2 - 1) * INV_P1_P2, P2)
+    x2 = x2 + jnp.where(x2 < 0, np.int32(P2), 0)
+    r12 = x1 + np.int32(P1) * x2                   # < P1*P2 < 2^29
+    m12 = _modc(r12, P1 * P2, P3)
+    m12 = m12 + jnp.where(m12 < 0, np.int32(P3), 0)
+    t3 = v3 - m12                     # in (-1.5*P3, P3/2]
+    t3 = t3 + jnp.where(t3 < 0, np.int32(P3), 0)
+    t3 = t3 + jnp.where(t3 < 0, np.int32(P3), 0)
+    pr = t3.astype(jnp.uint32) * jnp.uint32(INV_P12_P3)  # < 2^31.9
+    v = ((pr >> 16).astype(jnp.int32) * 4095
+         + (pr & 65535).astype(jnp.int32))
+    x3 = _modc(v, ((P3 - 1) * INV_P12_P3 >> 16) * 4095 + 65535, P3)
+    x3 = x3 + jnp.where(x3 < 0, np.int32(P3), 0)
+    # U = r12 + (P1*P2) * x3 as u64 limbs
+    lo = r12.astype(jnp.uint32)
+    hi = jnp.zeros_like(lo)
+    x3u = x3.astype(jnp.uint32)
+    lo, hi = _add64(lo, hi, x3u * np.uint32(C_LO), hi * 0)
+    b1 = x3u * np.uint32(C_HI)                     # < 2^29
+    lo, hi = _add64(lo, hi, (b1 & 0xFFFF) << 16, b1 >> 16)
+    # center: U > (M3-1)/2  <=>  U >= T_PLUS1
+    over = (hi > np.uint32(TH)) | ((hi == np.uint32(TH))
+                                   & (lo >= np.uint32(TL)))
+    slo = lo - np.uint32(M3L)
+    borrow = (lo < np.uint32(M3L)).astype(jnp.uint32)
+    shi = hi - np.uint32(M3H) - borrow
+    lo = jnp.where(over, slo, lo)
+    hi = jnp.where(over, shi, hi)
+    return lo, hi
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -336,14 +381,6 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
             res_ref[pi] = res.reshape(kp1, NUM_GROUPS, C, LANE, LANE)
 
     # ---- CRT + u64 recombine + output transpose ---------------------------
-    P1, P2, P3 = PRIMES3
-    INV_P1_P2 = pow(P1, P2 - 2, P2)
-    INV_P12_P3 = pow(P1 * P2 % P3, P3 - 2, P3)
-    C_LO, C_HI = (P1 * P2) & 0xFFFF, (P1 * P2) >> 16
-    T_PLUS1 = (M3 + 1) // 2
-    TH, TL = T_PLUS1 >> 32, T_PLUS1 & 0xFFFFFFFF
-    M3H, M3L = M3 >> 32, M3 & 0xFFFFFFFF
-
     for jout in range(kp1):
         if "crt" in ablate:
             v = res_ref[0, jout, 0].astype(jnp.uint32)
@@ -353,40 +390,8 @@ def _ntt_ext_kernel(dl_ref, khat_ref, wblkf_ref, tf_ref, w1f_ref, w1i_ref,
             continue
         elo = ehi = None
         for g in range(NUM_GROUPS):
-            v1 = res_ref[0, jout, g]
-            v2 = res_ref[1, jout, g]
-            v3 = res_ref[2, jout, g]
-            x1 = v1 + jnp.where(v1 < 0, np.int32(P1), 0)
-            t2 = v2 - x1
-            t2 = t2 + jnp.where(t2 < 0, np.int32(P2), 0)
-            x2 = _modc(t2 * np.int32(INV_P1_P2), (P2 - 1) * INV_P1_P2, P2)
-            x2 = x2 + jnp.where(x2 < 0, np.int32(P2), 0)
-            r12 = x1 + np.int32(P1) * x2                   # < P1*P2 < 2^29
-            m12 = _modc(r12, P1 * P2, P3)
-            m12 = m12 + jnp.where(m12 < 0, np.int32(P3), 0)
-            t3 = v3 - m12                     # in (-1.5*P3, P3/2]
-            t3 = t3 + jnp.where(t3 < 0, np.int32(P3), 0)
-            t3 = t3 + jnp.where(t3 < 0, np.int32(P3), 0)
-            pr = t3.astype(jnp.uint32) * jnp.uint32(INV_P12_P3)  # < 2^31.9
-            v = ((pr >> 16).astype(jnp.int32) * 4095
-                 + (pr & 65535).astype(jnp.int32))
-            x3 = _modc(v, ((P3 - 1) * INV_P12_P3 >> 16) * 4095 + 65535, P3)
-            x3 = x3 + jnp.where(x3 < 0, np.int32(P3), 0)
-            # U = r12 + (P1*P2) * x3 as u64 limbs
-            lo = r12.astype(jnp.uint32)
-            hi = jnp.zeros_like(lo)
-            x3u = x3.astype(jnp.uint32)
-            lo, hi = _add64(lo, hi, x3u * np.uint32(C_LO), hi * 0)
-            b1 = x3u * np.uint32(C_HI)                     # < 2^29
-            lo, hi = _add64(lo, hi, (b1 & 0xFFFF) << 16, b1 >> 16)
-            # center: U > (M3-1)/2  <=>  U >= T_PLUS1
-            over = (hi > np.uint32(TH)) | ((hi == np.uint32(TH))
-                                           & (lo >= np.uint32(TL)))
-            slo = lo - np.uint32(M3L)
-            borrow = (lo < np.uint32(M3L)).astype(jnp.uint32)
-            shi = hi - np.uint32(M3H) - borrow
-            lo = jnp.where(over, slo, lo)
-            hi = jnp.where(over, shi, hi)
+            lo, hi = crt3_u64(res_ref[0, jout, g], res_ref[1, jout, g],
+                              res_ref[2, jout, g])
             lo, hi = _shl64(lo, hi, 24 * g)
             if elo is None:
                 elo, ehi = lo, hi

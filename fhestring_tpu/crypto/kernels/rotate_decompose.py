@@ -55,31 +55,26 @@ def _rotate_decompose_kernel(acc_lo_ref, acc_hi_ref, amt_ref, out_ref,
 
     t_iota = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 2)
 
-    # ---- negacyclic rotation by per-item amounts (sign-tracking shear) ----
-    # Track the wraparound negation as a 0/1 sign plane through the log-shear
-    # and apply ONE u64 negation at the end: ~7 vector ops/stage instead of
-    # ~10, and the rotation-by-N stage is a single sign xor.
+    # ---- negacyclic rotation by per-item amounts (12-stage shear) ----
+    # (A sign-tracking variant with one deferred negation measured SLOWER:
+    # the extra int32 sign-plane roll costs more than the per-stage u64
+    # negations it saves — cross-lane rolls are the expensive op here.)
     rlo, rhi = lo, hi
-    sg = jnp.zeros(lo.shape, jnp.int32)
     bits = (2 * n_poly).bit_length() - 1  # log2(2N)
     for k in range(bits):
         s = 1 << k
-        take = ((amt3 >> k) & 1) == 1  # [bt,1,1] broadcasts
         if s >= n_poly:
-            # rotation by N == global negation: flip sign only
-            sg = jnp.where(take, 1 - sg, sg)
-            continue
-        nlo = pltpu.roll(rlo, s, 2)
-        nhi = pltpu.roll(rhi, s, 2)
-        nsg = pltpu.roll(sg, s, 2)
-        nsg = jnp.where(t_iota < s, 1 - nsg, nsg)
+            nlo, nhi = _neg_u64(rlo, rhi)  # rotation by N == global negation
+        else:
+            nlo = pltpu.roll(rlo, s, 2)
+            nhi = pltpu.roll(rhi, s, 2)
+            wrap = t_iota < s
+            neg_lo, neg_hi = _neg_u64(nlo, nhi)
+            nlo = jnp.where(wrap, neg_lo, nlo)
+            nhi = jnp.where(wrap, neg_hi, nhi)
+        take = ((amt3 >> k) & 1) == 1  # [bt,1,1] broadcasts
         rlo = jnp.where(take, nlo, rlo)
         rhi = jnp.where(take, nhi, rhi)
-        sg = jnp.where(take, nsg, sg)
-    neg_lo, neg_hi = _neg_u64(rlo, rhi)
-    is_neg = sg == 1
-    rlo = jnp.where(is_neg, neg_lo, rlo)
-    rhi = jnp.where(is_neg, neg_hi, rhi)
 
     # ---- diff = rotated - acc (u64) ----
     dlo = rlo - lo

@@ -454,15 +454,46 @@ def _neg_consts_cached(n: int, num_la: int):
     return pack_neg_consts(n, num_la)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_consts_cached(n: int, num_la: int):
+    from .kernels.blind_rotate_fused import pack_fused_consts
+
+    return pack_fused_consts(n, num_la)
+
+
 def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
                  use_pallas: bool = False, use_ntt: bool = False,
-                 use_ntt2: bool = False) -> U64:
+                 use_ntt2: bool = False, use_fused: bool = False) -> U64:
     """acc: U64 [B, k+1, N]; lwe_2n: int32 [B, n+1]. Sequential over the n
     LWE coefficients (the inherently serial axis); throughput comes from B."""
     p = keys.params
     N = p.polynomial_size
-    rotate = (_negacyclic_rotate_shear if (use_pallas or use_ntt or use_ntt2)
+    rotate = (_negacyclic_rotate_shear
+              if (use_pallas or use_ntt or use_ntt2 or use_fused)
               else _negacyclic_rotate)
+
+    if use_fused:
+        from .kernels.blind_rotate_fused import blind_rotate_fused
+
+        assert keys.bsk_ntt2 is not None, "pack_server_keys(with_ntt2=True)"
+        assert p.pbs_level == 1, "fused path assumes ell=1"
+        num_la = (p.pbs_base_log + 8) // 8
+        interpret = jax.default_backend() == "cpu"
+        B = acc.lo.shape[0]
+        nb = 128 // (N // 128)
+        bp = -(-B // nb) * nb
+        alo, ahi = acc.lo, acc.hi
+        amounts = lwe_2n[:, :p.lwe_dimension]
+        if bp != B:
+            padc = ((0, bp - B), (0, 0), (0, 0))
+            alo = jnp.pad(alo, padc)
+            ahi = jnp.pad(ahi, padc)
+            amounts = jnp.pad(amounts, ((0, bp - B), (0, 0)))
+        consts = _fused_consts_cached(N, num_la)
+        lo, hi = blind_rotate_fused(alo, ahi, amounts, keys.bsk_ntt2, consts,
+                                    n_poly=N, base_log=p.pbs_base_log,
+                                    interpret=interpret)
+        return U64(lo[:B], hi[:B])
 
     b = lwe_2n[:, -1]
     acc = rotate(acc, (2 * N - b) & (2 * N - 1), N)
@@ -581,10 +612,11 @@ def sample_extract(acc: U64, p: CryptoParams) -> U64:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("use_pallas", "use_ntt",
-                                              "use_ntt2"))
+                                              "use_ntt2", "use_fused"))
 def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
               keys: DeviceServerKeys, use_pallas: bool = False,
-              use_ntt: bool = False, use_ntt2: bool = False) -> U64:
+              use_ntt: bool = False, use_ntt2: bool = False,
+              use_fused: bool = False) -> U64:
     """Apply per-item LUTs to a batch of big-key LWE ciphertexts.
 
     ct: U64 [B, kN+1]; lut_idx: int32 [B] into lut_bank U64 [L, 2N].
@@ -600,7 +632,7 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
     # Init accumulator: body = testpoly * X^{-b}; masks start at zero.
     b = lwe_2n[:, -1]
     sel = U64(lut_bank.lo[lut_idx], lut_bank.hi[lut_idx])  # [B, 2N]
-    if use_pallas or use_ntt or use_ntt2:
+    if use_pallas or use_ntt or use_ntt2 or use_fused:
         # gather-free: rotate the N-coefficient poly by (2N - b) via shear
         poly = U64(sel.lo[:, None, :N], sel.hi[:, None, :N])  # [B, 1, N]
         body = _negacyclic_rotate_shear(poly, (2 * N - b) & (2 * N - 1), N)
@@ -616,5 +648,6 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
 
     lwe_nob = jnp.concatenate([lwe_2n[:, :-1], jnp.zeros((B, 1), jnp.int32)], axis=1)
     acc = blind_rotate(acc, lwe_nob, keys, use_pallas=use_pallas,
-                       use_ntt=use_ntt, use_ntt2=use_ntt2)
+                       use_ntt=use_ntt, use_ntt2=use_ntt2,
+                       use_fused=use_fused)
     return sample_extract(acc, p)

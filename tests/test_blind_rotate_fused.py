@@ -1,0 +1,39 @@
+"""Fused whole-blind-rotation kernel: bit-exact vs the step-by-step path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fhestring_tpu import torus
+from fhestring_tpu.crypto import keys as dkeys
+from fhestring_tpu.crypto import pbs as dpbs
+from fhestring_tpu.crypto.kernels.blind_rotate_fused import (
+    blind_rotate_fused, pack_fused_consts)
+from fhestring_tpu.numpy_ref import core as ref
+from fhestring_tpu.params import PARAM_TEST_ZERO_NOISE
+
+
+@pytest.mark.parametrize("B", [64, 128])
+def test_fused_matches_stepwise(B):
+    p = PARAM_TEST_ZERO_NOISE
+    rng = np.random.default_rng(7)
+    sk, srv = ref.keygen(p, rng)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=True)
+
+    N, kp1 = p.polynomial_size, p.glwe_dimension + 1
+    acc0 = rng.integers(0, 1 << 64, size=(B, kp1, N), dtype=np.uint64)
+    lwe = np.zeros((B, p.lwe_dimension + 1), np.int32)
+    lwe[:, :-1] = rng.integers(0, 2 * N, size=(B, p.lwe_dimension))
+
+    acc = torus.from_numpy(acc0)
+    want = torus.to_numpy(dpbs.blind_rotate(acc, jnp.asarray(lwe), dev))
+
+    consts = pack_fused_consts(N)
+    amounts = jnp.asarray(lwe[:, :p.lwe_dimension])
+    lo, hi = blind_rotate_fused(acc.lo, acc.hi, amounts, dev.bsk_ntt2,
+                                consts, n_poly=N, base_log=p.pbs_base_log,
+                                b_tile=64, interpret=True)
+    got = np.asarray(lo).astype(np.uint64) | (
+        np.asarray(hi).astype(np.uint64) << np.uint64(32))
+    np.testing.assert_array_equal(got, want)

@@ -130,7 +130,7 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
                   w1f_ref, w1i_ref, wblki_ref, lo_ref, hi_ref,
                   acclo_s, acchi_s, dhat_ref, work_ref, res_ref, *,
                   n: int, bt: int, num_la: int, num_r: int, kp1: int,
-                  n_steps: int, base_log: int):
+                  n_steps: int, base_log: int, rounded: bool):
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     C = bt * n // (LANE * LANE)
@@ -141,43 +141,67 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
         acclo_s[...] = acc0lo_ref[...]
         acchi_s[...] = acc0hi_ref[...]
 
-    lo = acclo_s[...]                              # [bt, kp1, N] u32
-    hi = acchi_s[...]
+    hi = acchi_s[...]                              # [bt, kp1, N] u32
     amt3 = amt_ref[...].reshape(bt, 1, 1).astype(jnp.int32)
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 2)
-
-    # ---- negacyclic rotation by per-item amounts (12-stage shear) --------
-    rlo, rhi = lo, hi
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 2)
     bits = (2 * n).bit_length() - 1
-    for k in range(bits):
-        s = 1 << k
-        if s >= n:
-            nlo, nhi = _neg_u64(rlo, rhi)
-        else:
-            nlo = pltpu.roll(rlo, s, 2)
-            nhi = pltpu.roll(rhi, s, 2)
-            wrap = t_iota < s
-            neg_lo, neg_hi = _neg_u64(nlo, nhi)
-            nlo = jnp.where(wrap, neg_lo, nlo)
-            nhi = jnp.where(wrap, neg_hi, nhi)
-        take = ((amt3 >> k) & 1) == 1
-        rlo = jnp.where(take, nlo, rlo)
-        rhi = jnp.where(take, nhi, rhi)
-
-    # ---- diff + gadget decomposition (ell = 1) ---------------------------
-    dlo = rlo - lo
-    borrow = (rlo < lo).astype(jnp.uint32)
-    dhi = rhi - hi - borrow
     shift = 64 - base_log
     assert shift >= 33
     sh = shift - 32
-    state = (dhi >> jnp.uint32(sh)) + ((dhi >> jnp.uint32(sh - 1))
-                                       & jnp.uint32(1))
-    base = jnp.uint32((1 << base_log) - 1)
-    half = jnp.uint32(1 << (base_log - 1))
-    d = (state & base).astype(jnp.int32)
-    carry = (d >= half.astype(jnp.int32)).astype(jnp.int32)
-    d = d - (carry << base_log)                    # [bt, kp1, N] signed digit
+
+    if rounded:
+        # ---- ROUNDED decomposition (numpy_ref.cmux_rounded semantics) ----
+        # Shear only the B-bit pre-rounded plane: one int32 plane instead of
+        # the u64 accumulator; decomposition error grows <= ~5x in std-dev,
+        # far inside the parameter budget (see cmux_rounded docstring).
+        maski = jnp.int32((1 << base_log) - 1)
+        ar = (((hi >> jnp.uint32(sh)) + ((hi >> jnp.uint32(sh - 1))
+                                         & jnp.uint32(1)))
+              .astype(jnp.int32) & maski)           # [bt, kp1, N] in [0, 2^B)
+        rr = ar
+        for k in range(bits):
+            s = 1 << k
+            if s >= n:
+                nr = (jnp.int32(1 << base_log) - rr) & maski
+            else:
+                nr = pltpu.roll(rr, s, 2)
+                nr = jnp.where(t_iota < s,
+                               (jnp.int32(1 << base_log) - nr) & maski, nr)
+            take = ((amt3 >> k) & 1) == 1
+            rr = jnp.where(take, nr, rr)
+        state = (rr - ar) & maski
+        ge = (state >= jnp.int32(1 << (base_log - 1))).astype(jnp.int32)
+        d = state - (ge << base_log)               # [bt, kp1, N] signed digit
+    else:
+        lo = acclo_s[...]
+        # ---- negacyclic rotation by per-item amounts (12-stage shear) ----
+        rlo, rhi = lo, hi
+        for k in range(bits):
+            s = 1 << k
+            if s >= n:
+                nlo, nhi = _neg_u64(rlo, rhi)
+            else:
+                nlo = pltpu.roll(rlo, s, 2)
+                nhi = pltpu.roll(rhi, s, 2)
+                wrap = t_iota < s
+                neg_lo, neg_hi = _neg_u64(nlo, nhi)
+                nlo = jnp.where(wrap, neg_lo, nlo)
+                nhi = jnp.where(wrap, neg_hi, nhi)
+            take = ((amt3 >> k) & 1) == 1
+            rlo = jnp.where(take, nlo, rlo)
+            rhi = jnp.where(take, nhi, rhi)
+
+        # ---- diff + gadget decomposition (ell = 1) -----------------------
+        dlo = rlo - lo
+        borrow = (rlo < lo).astype(jnp.uint32)
+        dhi = rhi - hi - borrow
+        state = (dhi >> jnp.uint32(sh)) + ((dhi >> jnp.uint32(sh - 1))
+                                           & jnp.uint32(1))
+        base = jnp.uint32((1 << base_log) - 1)
+        half = jnp.uint32(1 << (base_log - 1))
+        d = (state & base).astype(jnp.int32)
+        carry = (d >= half.astype(jnp.int32)).astype(jnp.int32)
+        d = d - (carry << base_log)                # [bt, kp1, N] signed digit
 
     # ---- balanced int8 limbs + T1 transposes ------------------------------
     A_las = []
@@ -286,11 +310,11 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_poly", "base_log", "b_tile",
-                                              "interpret"))
+                                              "interpret", "rounded"))
 def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
                        amounts: jnp.ndarray, khat: jnp.ndarray, consts: dict,
                        *, n_poly: int, base_log: int, b_tile: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False, rounded: bool = False):
     """Run the whole blind rotation in one kernel.
 
     acc_*: u32 [B, kp1, N] initial accumulator (body = rotated test poly);
@@ -319,7 +343,7 @@ def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
     lo, hi = pl.pallas_call(
         functools.partial(_fused_kernel, n=n, bt=bt, num_la=num_la,
                           num_r=num_r, kp1=kp1, n_steps=n_steps,
-                          base_log=base_log),
+                          base_log=base_log, rounded=rounded),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, kp1, n), lambda b, j: (b, 0, 0),

@@ -243,6 +243,49 @@ def cmux(bsk_j: np.ndarray, d0: np.ndarray, d1: np.ndarray, p: CryptoParams) -> 
     return d0 + external_product(bsk_j, (d1 - d0), p)
 
 
+def cmux_rounded(bsk_j: np.ndarray, acc: np.ndarray, aj: int,
+                 p: CryptoParams) -> np.ndarray:
+    """CMux with ROUNDED gadget decomposition (ell = 1 only).
+
+    Instead of decomposing diff = acc*X^a - acc exactly, decompose the
+    difference of the pre-rounded plane acc_r = round(acc / 2^(64-B))
+    (B = pbs_base_log), rotated in Z_{2^B}.  The decomposition
+    approximation error grows from 2^(63-B) to <= ~2.5 * 2^(64-B) per
+    coefficient (acc rounding + rotation rounding + negation ties) — a
+    <= 5x std-dev increase of the decomposition noise term, far inside the
+    2_2 parameter budget (~140 sigma of margin at production parameters).
+    This halves the data the per-step rotation touches: one B-bit plane
+    instead of the u64 accumulator.  Used by the fused TPU kernel
+    (crypto/kernels/blind_rotate_fused.py, rounded=True).
+    """
+    assert p.pbs_level == 1
+    blog = p.pbs_base_log
+    shift = p.q_bits - blog
+    mask = U64((1 << blog) - 1)
+    half = 1 << (blog - 1)
+    out = acc.copy()
+    for r in range(p.glwe_dimension + 1):
+        acc_r = ((acc[r] >> U64(shift)) + ((acc[r] >> U64(shift - 1))
+                                           & U64(1))) & mask
+        # negacyclic rotate in Z_{2^B}
+        n = acc_r.shape[-1]
+        a = int(aj) % (2 * n)
+        flip = a >= n
+        a %= n
+        rot = np.roll(acc_r, a)
+        if a:
+            rot[:a] = (U64(0) - rot[:a]) & mask
+        if flip:
+            rot = (U64(0) - rot) & mask
+        state = (rot - acc_r) & mask
+        d = state.astype(np.int64) - (state >= half).astype(np.int64) * (1 << blog)
+        du = d.astype(U64)  # two's complement wraps mod q
+        row = bsk_j[r]      # ell = 1: [k+1, N]
+        for col in range(p.glwe_dimension + 1):
+            out[col] = out[col] + polymul(du, row[col])
+    return out
+
+
 def modswitch(ct: np.ndarray, p: CryptoParams) -> np.ndarray:
     """Switch LWE coefficients from q to 2N (rounding)."""
     two_n = 2 * p.polynomial_size
@@ -251,14 +294,21 @@ def modswitch(ct: np.ndarray, p: CryptoParams) -> np.ndarray:
     return (rounded % U64(two_n)).astype(np.int64)
 
 
-def blind_rotate(acc: np.ndarray, lwe_2n: np.ndarray, srv: ServerKeys) -> np.ndarray:
-    """Rotate acc by -phase(ct) homomorphically; acc: [k+1, N] GLWE."""
+def blind_rotate(acc: np.ndarray, lwe_2n: np.ndarray, srv: ServerKeys,
+                 rounded: bool = False) -> np.ndarray:
+    """Rotate acc by -phase(ct) homomorphically; acc: [k+1, N] GLWE.
+
+    rounded=True uses the rounded gadget decomposition (see cmux_rounded);
+    plaintext-equivalent, slightly larger decomposition noise."""
     p = srv.params
     a, b = lwe_2n[:-1], int(lwe_2n[-1])
     acc = np.stack([poly_rotate(poly, -b) for poly in acc])
     for j in range(p.lwe_dimension):
-        rotated = np.stack([poly_rotate(poly, int(a[j])) for poly in acc])
-        acc = cmux(srv.bsk[j], acc, rotated, p)
+        if rounded:
+            acc = cmux_rounded(srv.bsk[j], acc, int(a[j]), p)
+        else:
+            rotated = np.stack([poly_rotate(poly, int(a[j])) for poly in acc])
+            acc = cmux(srv.bsk[j], acc, rotated, p)
     return acc
 
 

@@ -50,9 +50,14 @@ def main():
                          .astype(np.uint32))
     amt = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
     dl0 = jnp.asarray(rng.integers(-128, 128, (La, B, R * N)).astype(np.int8))
-    khat = jnp.asarray(rng.integers(-30000, 30000,
-                                    (3, R, kp1, 8, N // 128, 128))
-                       .astype(np.int16))
+    # Per-step NTT-domain keys, streamed from HBM by dynamic_slice inside the
+    # loop exactly like pbs.step_ntt2 — reusing one key array would omit the
+    # per-step key HBM traffic the real PBS pays. A pool of SK distinct steps
+    # keeps host memory bounded while preserving the stream.
+    SK = min(args.steps, 32)
+    khat_pool = jnp.asarray(rng.integers(-30000, 30000,
+                                         (SK, 3, R, kp1, 8, N // 128, 128))
+                            .astype(np.int16))
     consts = pack_neg_consts(N, La)
 
     def timeit(name, fn, *args_):
@@ -90,10 +95,12 @@ def main():
         @jax.jit
         def loop_ntt(dl):
             def body(i, dl):
+                khat = jax.lax.dynamic_slice_in_dim(
+                    khat_pool, i % SK, 1, axis=0)[0]
                 lo, hi = ntt_ext_u64(dl, khat, consts, n_poly=N,
                                      ablate=ablate)
-                d = lo.reshape(B, R * N).astype(jnp.int8)
-                return dl + d[None]
+                d = lo.reshape(B, kp1 * N).astype(jnp.int8)
+                return dl + d[None, :, : R * N]
             out = jax.lax.fori_loop(0, S, body, dl)
             return jnp.sum(out.astype(jnp.int32), dtype=jnp.int32)
         return loop_ntt

@@ -329,7 +329,12 @@ def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
     n_steps = amounts.shape[1]
     assert khat.shape[0] == n_steps
     num_r = khat.shape[2]
-    num_la = 3
+    # Digit-limb count is set by the gadget base: |digit| <= 2^(base_log-1).
+    # The caller's consts were packed with the same value (wblkf's La axis);
+    # a mismatch would silently mis-index the folded twiddles.
+    num_la = (base_log + 8) // 8
+    assert consts["wblkf"].shape[1] == num_la, (
+        consts["wblkf"].shape, base_log)
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     bt = min(b_tile, B)

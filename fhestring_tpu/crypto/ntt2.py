@@ -205,7 +205,10 @@ def crt3(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray) -> np.ndarray:
     x2 = np.mod((np.mod(v2, p2) - x1) * inv_p1_p2, p2)
     x3 = np.mod((np.mod(v3, p3) - x1 - p1 * x2) * inv_p12_p3, p3)
     v = x1 + p1 * x2 + (p1 * p2) * x3           # in [0, M3)
-    return np.where(v >= M3 // 2, v - M3, v)
+    # Center with the same convention as kernels/ntt_ext.crt3_u64 (subtract
+    # when v >= (M3+1)//2, i.e. v > M3//2 for odd M3) so both return values
+    # in (-M3/2, M3/2] identically at the boundary |v| = (M3-1)/2.
+    return np.where(v > M3 // 2, v - M3, v)
 
 
 # ---------------------------------------------------------------------------

@@ -472,6 +472,14 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
               if (use_pallas or use_ntt or use_ntt2 or use_fused)
               else _negacyclic_rotate)
 
+    # Initial rotation by -b (the LWE body). Applied up front for every
+    # path, including the fused kernel (whose per-step amounts exclude b),
+    # so the documented lwe_2n contract holds for direct callers; pbs_batch
+    # pre-rotates the test polynomial and passes b = 0, making this a no-op
+    # there.
+    b = lwe_2n[:, -1]
+    acc = rotate(acc, (2 * N - b) & (2 * N - 1), N)
+
     if use_fused:
         from .kernels.blind_rotate_fused import blind_rotate_fused
 
@@ -494,9 +502,6 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
                                     n_poly=N, base_log=p.pbs_base_log,
                                     interpret=interpret)
         return U64(lo[:B], hi[:B])
-
-    b = lwe_2n[:, -1]
-    acc = rotate(acc, (2 * N - b) & (2 * N - 1), N)
 
     def step_pallas(j, acc):
         """Fully-fused prologue: rotate+diff+decompose+limbs in one Pallas

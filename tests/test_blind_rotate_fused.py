@@ -37,3 +37,23 @@ def test_fused_matches_stepwise(B):
     got = np.asarray(lo).astype(np.uint64) | (
         np.asarray(hi).astype(np.uint64) << np.uint64(32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_path_honors_nonzero_b():
+    """blind_rotate(use_fused=True) must apply the initial -b rotation that
+    the fused kernel itself doesn't handle (its amounts exclude b)."""
+    p = PARAM_TEST_ZERO_NOISE
+    rng = np.random.default_rng(11)
+    sk, srv = ref.keygen(p, rng)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=True)
+
+    B, N, kp1 = 64, p.polynomial_size, p.glwe_dimension + 1
+    acc0 = rng.integers(0, 1 << 64, size=(B, kp1, N), dtype=np.uint64)
+    lwe = rng.integers(0, 2 * N, size=(B, p.lwe_dimension + 1)) \
+        .astype(np.int32)  # last column b deliberately nonzero
+
+    acc = torus.from_numpy(acc0)
+    want = torus.to_numpy(dpbs.blind_rotate(acc, jnp.asarray(lwe), dev))
+    got = torus.to_numpy(
+        dpbs.blind_rotate(acc, jnp.asarray(lwe), dev, use_fused=True))
+    np.testing.assert_array_equal(got, want)

@@ -64,7 +64,10 @@ def main():
     ap.add_argument("--ntt2", action="store_true",
                     help="use the negacyclic CRT-NTT Pallas kernel path")
     ap.add_argument("--fused", action="store_true",
-                    help="use the fused whole-blind-rotation kernel")
+                    help="use the fused whole-blind-rotation kernel "
+                         "(the default on TPU)")
+    ap.add_argument("--matmul", action="store_true",
+                    help="force the Hankel-matmul kernel path")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +88,11 @@ def main():
 
     sk, srv = get_keys(params)
     dev = dkeys.pack_server_keys(srv)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu and not (args.ntt or args.ntt2 or args.matmul):
+        # Default TPU path: the fused whole-blind-rotation NTT kernel
+        # (575 vs 428 PBS/s for the matmul kernel; benchmarks/RESULTS.md).
+        args.fused = True
     if args.ntt2 or args.fused:
         npath = os.path.join(CACHE_DIR, f"keysntt2_{params.name}_0.npy")
         if os.path.exists(npath):
@@ -130,7 +138,6 @@ def main():
         jax.block_until_ready(x)
         np.asarray(x.lo)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
     use_pallas = on_tpu and not (args.ntt or args.ntt2 or args.fused)
 
     def run():

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Calibrate the shortint noise budget against measured PBS output noise.
+
+Round-1 shipped MAX_NOISE_VAR = 34.0 "fresh-PBS units" as a guess
+(shortint.py TODO). This script measures, on the real device at production
+parameters (or on the CPU oracle path at CI parameters):
+
+  1. fresh-PBS output noise: encrypt random messages, bootstrap, compute the
+     exact torus phase error e = phase - encode(table[m]) with the secret
+     key; report sigma in relative-torus units;
+  2. the pre-blind-rotation error of the WORST designed pack (4x + y with a
+     bootstrapped x, y): this is the quantity that must stay inside the test
+     polynomial's half-slot for the next PBS to decode correctly;
+  3. the implied safe budget: MAX_NOISE_VAR = (tol / z)^2 / var_fresh with
+     tol = 1/(2*full_space) (half-slot, relative torus) and z = 7.04
+     (two-sided 2^-40 failure target), minus the KS+modswitch path variance
+     measured in (2);
+  4. a >= 10^4-bootstrap zero-failure check (the statistical test the CI
+     suite mirrors at smaller scale in tests/test_noise_stats.py).
+
+Usage: python benchmarks/noise_calibration.py [--params prod] [--n 16384]
+Prints one JSON object with all measured quantities.
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+
+def phase_errors(sk, cts: np.ndarray, expected: np.ndarray, p) -> np.ndarray:
+    """Exact signed torus error (relative units in [-0.5, 0.5))."""
+    from fhestring_tpu.numpy_ref import core as ref
+
+    sk_bits = sk.big_lwe_sk.astype(np.uint64)
+    a = cts[:, :-1].astype(np.uint64)
+    b = cts[:, -1].astype(np.uint64)
+    phase = b - (a * sk_bits[None, :]).sum(axis=1)  # uint64 wraps
+    enc = (expected.astype(np.uint64) * np.uint64(p.delta))
+    err = (phase - enc).astype(np.float64)  # uint64 wraps
+    err = np.where(err >= 2.0 ** 63, err - 2.0 ** 64, err)
+    return err / 2.0 ** 64
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--params", default="prod",
+                    choices=["prod", "noisy", "stat"])
+    ap.add_argument("--n", type=int, default=16384,
+                    help="total bootstraps to sample (>= 10^4 for the "
+                         "failure check)")
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+
+    from fhestring_tpu.compat import enable_compile_cache
+
+    enable_compile_cache()
+
+    from fhestring_tpu import params as P
+    from fhestring_tpu import torus
+    from fhestring_tpu.crypto import keys as dkeys
+    from fhestring_tpu.crypto import pbs as dpbs
+    from fhestring_tpu.numpy_ref import core as ref
+
+    params = {"prod": P.PARAM_PROD, "noisy": P.PARAM_TEST_NOISY,
+              "stat": getattr(P, "PARAM_TEST_STAT", P.PARAM_TEST_NOISY)}[
+        args.params]
+    on_tpu = jax.default_backend() != "cpu"
+    print(f"# params={params.name} device={jax.devices()[0]}",
+          file=sys.stderr)
+
+    if args.params == "prod":
+        import bench
+        sk, srv = bench.get_keys(params)
+    else:
+        rng0 = np.random.default_rng(0)
+        sk, srv = ref.keygen(params, rng0)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=on_tpu)
+
+    table = list(range(4)) * 4  # identity-on-message LUT
+    bank = dkeys.pack_luts([table], params)
+    rng = np.random.default_rng(11)
+
+    fresh_errs, pack_errs, failures, total = [], [], 0, 0
+    B = args.batch
+    rounds = max(1, args.n // B)
+    for r in range(rounds):
+        msgs = rng.integers(0, 4, size=B)
+        cts = np.stack([ref.shortint_encrypt(sk, int(m), rng) for m in msgs])
+        out = dpbs.pbs_batch(torus.from_numpy(cts), np.zeros(B, np.int32),
+                             bank, dev, use_fused=on_tpu,
+                             use_pallas=False)
+        host = torus.to_numpy(out)
+        exp = np.array([table[m] for m in msgs])
+        errs = phase_errors(sk, host, exp, params)
+        fresh_errs.append(errs)
+        dec = np.array([ref.shortint_decrypt(sk, host[i]) for i in range(B)])
+        failures += int((dec != exp).sum())
+        total += B
+
+        # Worst designed pack: 4x + y from two bootstrapped outputs.
+        half = B // 2
+        x, y = host[:half], host[half:2 * half]
+        packed = np.uint64(4) * x + y  # uint64 wraps
+        pexp = (4 * exp[:half] + exp[half:2 * half]) % 16
+        pack_errs.append(phase_errors(sk, packed, pexp, params))
+
+    fresh = np.concatenate(fresh_errs)
+    pack = np.concatenate(pack_errs)
+    var_fresh = float(np.var(fresh))
+    var_pack = float(np.var(pack))
+
+    tol = 1.0 / (2 * params.full_space)   # half-slot, relative torus
+    z = 7.04                              # two-sided 2^-40
+    budget_var = (tol / z) ** 2
+    max_units = budget_var / var_fresh if var_fresh > 0 else float("inf")
+
+    print(json.dumps({
+        "params": params.name,
+        "samples": total,
+        "decode_failures": failures,
+        "sigma_fresh_rel": math.sqrt(var_fresh),
+        "sigma_fresh_log2": math.log2(math.sqrt(var_fresh) + 1e-300),
+        "sigma_pack4xy_rel": math.sqrt(var_pack),
+        "pack_vs_fresh_units": var_pack / var_fresh if var_fresh else None,
+        "half_slot_rel": tol,
+        "budget_var_rel": budget_var,
+        "max_noise_var_units_2^-40": max_units,
+        "margin_sigma_at_pack": tol / math.sqrt(var_pack) if var_pack else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,10 +56,23 @@ class ClientKey:
                     seed: int | None = 0) -> "ClientKey":
         return cls(params, seed)
 
-    def get_server_key(self):
+    def get_server_key(self, with_ntt2: bool | None = None):
+        """Pack the evaluation keys for the device.
+
+        with_ntt2: also pack the NTT-domain bootstrap key that enables the
+        fused blind-rotation kernel (the fastest measured TPU path). Default:
+        auto — on for TPU backends, off for CPU (where the fused kernel only
+        runs interpreted and the packing cost buys nothing).
+        """
+        import jax
+
         from .server import ServerKey
 
-        return ServerKey(pack_server_keys(self._server_raw), self.params)
+        if with_ntt2 is None:
+            with_ntt2 = jax.default_backend() != "cpu"
+        return ServerKey(
+            pack_server_keys(self._server_raw, with_ntt2=with_ntt2),
+            self.params)
 
     def get_public_parameters(self) -> PublicParameters:
         return self.public_parameters

@@ -33,6 +33,54 @@ class ClearBackend:
     """numpy-uint8 semantics: the executable spec of the engine ops."""
 
     name = "clear"
+    xp = np  # plaintext index math inside scan bodies
+
+    # -- scan / dynamic indexing (engine sequential kernels) -----------------
+    def scan(self, body, carry, xs: dict, length: int):
+        """Run body(carry, x) for i in [0, length); x = {k: xs[k][i]}.
+        Plain Python loop — the executable spec of the FHE lax.scan path."""
+        for i in range(length):
+            carry = body(carry, {k: v[i] for k, v in xs.items()})
+        return carry
+
+    def dynamic_slice(self, x, start, size: int, axis=0):
+        start = int(np.clip(start, 0, x.shape[axis] - size))
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + size)
+        return x[tuple(idx)]
+
+    dynamic_slice_bits = dynamic_slice
+
+    def dynamic_update_slice(self, x, upd, start, axis=0):
+        start = int(np.clip(start, 0, x.shape[axis] - upd.shape[axis]))
+        out = x.copy()
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + upd.shape[axis])
+        out[tuple(idx)] = upd
+        return out
+
+    dynamic_update_slice_bits = dynamic_update_slice
+
+    def select_pmask(self, mask, x, y):
+        """Plaintext 0/1 mask select (public positions, no crypto cost)."""
+        return np.where(np.asarray(mask) != 0, x, y).astype(np.uint8)
+
+    select_pmask_bits = select_pmask
+
+    def mul_pmask(self, x, mask):
+        return (x * np.asarray(mask).astype(np.uint8)).astype(np.uint8)
+
+    mul_pmask_bits = mul_pmask
+
+    def trivial_bits_dyn(self, v):
+        """Trivial bit encryption of a runtime-computed plaintext value."""
+        return np.asarray(v, dtype=np.uint8) & np.uint8(1)
+
+    def declare(self, x, degree: int, noise_var: float):
+        """Fix static (degree, noise) metadata — identity on plaintext."""
+        return x
+
+    declare_bits = declare
 
     # -- constructors / structure ------------------------------------------
     def trivial_chars(self, values):
@@ -178,10 +226,131 @@ class FheBackend:
     """Real TFHE: CT = Blocks [..., 4, kN+1], BT = Blocks [...]."""
 
     name = "fhe"
+    xp = jnp  # plaintext index math inside scan bodies (traced)
 
     def __init__(self, rc: RadixContext):
         self.rc = rc
         self.sc: ShortintContext = rc.sc
+
+    # -- scan / dynamic indexing (engine sequential kernels) -----------------
+    def scan(self, body, carry, xs: dict, length: int):
+        """One jax.lax.scan over the engine's sequential hot loops: the body
+        (with all its PBS call sites) is traced/compiled ONCE for all
+        `length` steps, replacing the reference's per-position unrolling
+        (e.g. src/server_key/split.rs:940-985) — the round-1 compile/trace
+        pathology fix."""
+        import jax
+
+        from .. import metrics
+
+        xs_j = {k: jnp.asarray(v) for k, v in xs.items()}
+
+        def step(c, x):
+            return body(c, x), None
+
+        with metrics.scan_scope(length):
+            carry, _ = jax.lax.scan(step, carry, xs_j, length=length)
+        return carry
+
+    def _dyn_slice(self, x: Blocks, start, size: int, axis: int, tail: int):
+        from ..torus import U64
+        import jax
+
+        ndim = x.ct.lo.ndim
+        ax = axis if axis >= 0 else axis - tail
+        if ax < 0:
+            ax += ndim
+        sizes = list(x.ct.lo.shape)
+        sizes[ax] = size
+        starts = [0] * ndim
+        starts[ax] = start
+        lo = jax.lax.dynamic_slice(x.ct.lo, starts, sizes)
+        hi = jax.lax.dynamic_slice(x.ct.hi, starts, sizes)
+        return Blocks(U64(lo, hi), x.degree, x.noise_var)
+
+    def dynamic_slice(self, x: Blocks, start, size: int, axis=0):
+        return self._dyn_slice(x, start, size, axis, tail=2)
+
+    def dynamic_slice_bits(self, x: Blocks, start, size: int, axis=0):
+        return self._dyn_slice(x, start, size, axis, tail=1)
+
+    def _dyn_update(self, x: Blocks, upd: Blocks, start, axis: int, tail: int):
+        from ..torus import U64
+        import jax
+
+        ndim = x.ct.lo.ndim
+        ax = axis if axis >= 0 else axis - tail
+        if ax < 0:
+            ax += ndim
+        starts = [0] * ndim
+        starts[ax] = start
+        lo = jax.lax.dynamic_update_slice(x.ct.lo, upd.ct.lo, starts)
+        hi = jax.lax.dynamic_update_slice(x.ct.hi, upd.ct.hi, starts)
+        return Blocks(U64(lo, hi), max(x.degree, upd.degree),
+                      max(x.noise_var, upd.noise_var))
+
+    def dynamic_update_slice(self, x: Blocks, upd: Blocks, start, axis=0):
+        return self._dyn_update(x, upd, start, axis, tail=2)
+
+    def dynamic_update_slice_bits(self, x: Blocks, upd: Blocks, start, axis=0):
+        return self._dyn_update(x, upd, start, axis, tail=1)
+
+    def _pmask_where(self, mask, x: Blocks, y: Blocks, tail: int):
+        """Select by a PLAINTEXT 0/1 mask: pure torus-limb where, no PBS and
+        no noise cost (the positions are public, the values stay encrypted)."""
+        from ..torus import U64
+
+        m = jnp.asarray(mask)
+        m = m.reshape(m.shape + (1,) * tail) != 0
+        lo = jnp.where(m, x.ct.lo, y.ct.lo)
+        hi = jnp.where(m, x.ct.hi, y.ct.hi)
+        return Blocks(U64(lo, hi), max(x.degree, y.degree),
+                      max(x.noise_var, y.noise_var))
+
+    def select_pmask(self, mask, x: Blocks, y: Blocks):
+        return self._pmask_where(mask, x, y, tail=2)
+
+    def select_pmask_bits(self, mask, x: Blocks, y: Blocks):
+        return self._pmask_where(mask, x, y, tail=1)
+
+    def mul_pmask(self, x: Blocks, mask):
+        return self._mul_pmask(x, mask, tail=2)
+
+    def mul_pmask_bits(self, x: Blocks, mask):
+        return self._mul_pmask(x, mask, tail=1)
+
+    def _mul_pmask(self, x: Blocks, mask, tail: int):
+        from ..torus import U64
+
+        m = jnp.asarray(mask)
+        m = (m.reshape(m.shape + (1,) * tail) != 0)
+        z = jnp.zeros_like(x.ct.lo)
+        return Blocks(U64(jnp.where(m, x.ct.lo, z), jnp.where(m, x.ct.hi, z)),
+                      x.degree, x.noise_var)
+
+    def trivial_bits_dyn(self, v):
+        """Trivial bit of a traced plaintext scalar/array: delta*v at the
+        body coefficient (create_trivial_radix analog for runtime values)."""
+        from ..torus import U64
+
+        p = self.sc.params
+        v = jnp.asarray(v)
+        delta = int(p.delta)
+        enc_lo = (v != 0).astype(jnp.uint32) * jnp.uint32(delta & 0xFFFFFFFF)
+        enc_hi = (v != 0).astype(jnp.uint32) * jnp.uint32(delta >> 32)
+        shape = v.shape + (p.big_lwe_dimension + 1,)
+        lo = jnp.zeros(shape, jnp.uint32).at[..., -1].set(enc_lo)
+        hi = jnp.zeros(shape, jnp.uint32).at[..., -1].set(enc_hi)
+        return Blocks(U64(lo, hi), 1, 0.0)
+
+    def declare(self, x: Blocks, degree: int, noise_var: float) -> Blocks:
+        """Widen static (degree, noise) metadata to fixed scan-carry values.
+        Sound because both only ever bound the true plaintext/noise."""
+        assert x.degree <= degree and x.noise_var <= noise_var + 1e-9, (
+            x.degree, x.noise_var, degree, noise_var)
+        return Blocks(x.ct, degree, noise_var)
+
+    declare_bits = declare
 
     # -- constructors / structure ------------------------------------------
     def trivial_chars(self, values):

@@ -61,22 +61,31 @@ class StringEngine:
         reference returns predicates as FheAsciiChar radix values."""
         return self.b.mul_bit(self.b.trivial_chars(np.uint8(1)), bit)
 
-    def compact_zeros_right(self, s):
+    def compact_zeros_right(self, s, axis=-1):
         """Stable move of all NUL chars to the right: value-identical to the
         reference's bubble_zeroes_right (utils.rs:28-46) but O(L^2) batched
-        comparisons at O(log L) depth instead of O(L^2) sequential cmux."""
+        comparisons at O(log L) depth instead of O(L^2) sequential cmux.
+
+        Operates along the LAST axis and batches over any leading dims, so
+        split post-passes compact all (len+1) buffers in one PBS batch."""
         b = self.b
-        L = b.shape(s)[0]
+        shape = tuple(b.shape(s))
+        assert axis in (-1, len(shape) - 1)
+        L = shape[-1]
+        batch = shape[:-1]
         if L <= 1:
             return s
-        nz = b.ne_zero(s)                      # [L]
-        rank = b.cumsum_bits(nz, 0)            # [L] inclusive counts
-        rank2 = b.reshape(rank, (L, 1))
-        targets = b.trivial_chars(np.arange(1, L + 1, dtype=np.uint8).reshape(1, L))
-        onehot = b.eq(rank2, targets)          # [L, L]: rank_i == j+1
-        masked = b.and_(onehot, b.reshape_bits(nz, (L, 1)))
-        vals = b.mul_bit(b.broadcast_to(b.reshape(s, (L, 1)), (L, L)), masked)
-        return b.sum_onehot_chars(vals, axis=0)
+        nz = b.ne_zero(s)                            # [.., L]
+        rank = b.cumsum_bits(nz, len(shape) - 1)     # [.., L] inclusive
+        rank2 = b.reshape(rank, batch + (L, 1))
+        targets = b.trivial_chars(
+            np.arange(1, L + 1, dtype=np.uint8).reshape(
+                (1,) * len(batch) + (1, L)))
+        onehot = b.eq(rank2, targets)                # [.., L, L]: rank_i==j+1
+        masked = b.and_(onehot, b.reshape_bits(nz, batch + (L, 1)))
+        vals = b.mul_bit(b.broadcast_to(b.reshape(s, batch + (L, 1)),
+                                        batch + (L, L)), masked)
+        return b.sum_onehot_chars(vals, axis=len(batch))
 
     # ------------------------------------------------------------------
     # predicates (reference src/server_key/mod.rs)
@@ -405,7 +414,9 @@ class StringEngine:
     def _handle_shorter_from(self, s, frm, to, n_enc):
         """from.len < to.len (mod.rs:885-980): inherently sequential —
         matches test the mutated buffer; each step shifts the tail by the
-        size difference through a snapshot."""
+        size difference through a snapshot. Runs as ONE backend scan (a
+        single compiled lax.scan on the FHE backend) over the output
+        positions instead of per-position unrolled graphs."""
         b = self.b
         zero1 = b.trivial_chars(np.zeros(1, np.uint8))
         s = b.concat([s, zero1], axis=0)  # push, mod.rs:898
@@ -413,45 +424,59 @@ class StringEngine:
         f, t = b.shape(frm)[0], b.shape(to)[0]
         size_diff = t - f
         max_out = t * L + L if f > 0 else (L + (L + 1) * t) + 1  # mod.rs:903-914
+        n_steps = max_out - t
         result = b.concat(
             [s, b.trivial_chars(np.zeros(max_out - L, np.uint8))], axis=0)
-        ignore = [b.trivial_bits(1) for _ in range(max_out)]
+        ignore = b.trivial_bits(np.ones(max_out, np.uint8))
         counter = b.trivial_chars(np.uint8(0))
-        one_bit = b.trivial_bits(1)
-        zero_bit = b.trivial_bits(0)
+        positions = np.arange(max_out)
 
-        for i in range(max_out - t):
+        # Fixed scan-carry noise/degree budget (values ops actually produce:
+        # select -> 2.0, and_/mul_bit/add_chars -> 1.0 fresh-PBS units).
+        result = b.declare(result, 3, 2.0)
+        ignore = b.declare_bits(ignore, 1, 1.0)
+        counter = b.declare(counter, 3, 1.0)
+
+        xs = {"i": np.arange(n_steps, dtype=np.int32)}
+        if f == 0:
+            xs["flag0"] = (np.arange(n_steps) % (t + 1) == 0).astype(np.uint8)
+
+        def body(carry, x):
+            result, ignore, counter = carry
+            i = x["i"]
             if f == 0:
-                flag = one_bit if i % (t + 1) == 0 else zero_bit
+                flag = b.trivial_bits_dyn(x["flag0"])
+                flag = b.declare_bits(flag, 1, 1.0)
             else:
-                win = b.take(result, np.arange(i, i + f), axis=0)
+                win = b.dynamic_slice(result, i, f)
                 eqs = b.eq(win, frm)
-                masked = b.and_(eqs, b.stack([ignore[i + j] for j in range(f)], axis=0))
+                masked = b.and_(eqs, b.dynamic_slice_bits(ignore, i, f))
                 flag = b.all_axis(masked, 0)
             if n_enc is not None:
                 counter = b.add_chars(counter, self._bit_to_char(flag))
                 flag = b.and_(flag, b.ge(n_enc, counter))
             # snapshot gated by flag (mod.rs:957-959)
             snapshot = b.mul_bit(result, flag)
-            # write `to` at [i, i+t) and update ignore mask (mod.rs:962-968)
-            head = b.take(result, np.arange(i, i + t), axis=0)
-            new_head = b.select(flag, to, head)
+            # candidate buffer if the flag fires: `to` written at [i, i+t),
+            # tail shifted right by size_diff from the snapshot
+            # (mod.rs:962-977); prefix < i is unchanged by construction.
+            with_to = b.dynamic_update_slice(result, to, i)
+            shifted = b.concat(
+                [b.trivial_chars(np.zeros(size_diff, np.uint8)),
+                 b.take(snapshot, positions[:max_out - size_diff], axis=0)],
+                axis=0)
+            cand = b.select_pmask(positions >= i + t, shifted, with_to)
+            result = b.select(flag, cand, result)
+            # ignore mask update over [i, i+t) (mod.rs:965-968)
             not_flag = b.not_(flag)
-            for k in range(t):
-                ignore[i + k] = b.and_(ignore[i + k], not_flag)
-            # shift tail right by size_diff from the snapshot (mod.rs:971-977)
-            tail_idx = np.arange(i + t, max_out)
-            src_idx = tail_idx - size_diff
-            tail_cur = b.take(result, tail_idx, axis=0)
-            tail_src = b.take(snapshot, src_idx, axis=0)
-            new_tail = b.select(flag, tail_src, tail_cur)
-            keep_idx = np.arange(0, i)
-            parts = []
-            if i > 0:
-                parts.append(b.take(result, keep_idx, axis=0))
-            parts.append(new_head)
-            parts.append(new_tail)
-            result = b.concat(parts, axis=0)
+            ig_win = b.and_(b.dynamic_slice_bits(ignore, i, t),
+                            b.reshape_bits(not_flag, (1,)))
+            ignore = b.dynamic_update_slice_bits(ignore, ig_win, i)
+            return (b.declare(result, 3, 2.0),
+                    b.declare_bits(ignore, 1, 1.0),
+                    b.declare(counter, 3, 1.0))
+
+        result, _, _ = b.scan(body, (result, ignore, counter), xs, n_steps)
         return result  # no compaction (mod.rs:979)
 
     # ------------------------------------------------------------------
@@ -477,34 +502,92 @@ class StringEngine:
         if n_enc is not None:
             allow = b.ne(n_enc, b.trivial_chars(np.uint8(0)))  # split.rs:916-919
 
+        grid, global_found = self._split_scan(
+            s, pat, ccb, allow, n_enc, reverse=False)
+        buffers = self._clear_pattern_from_result(grid, pat, n_enc,
+                                                  is_inclusive, is_terminator)
+        return buffers, global_found
+
+    def _split_scan(self, s, pat, ccb, allow, n_enc, reverse: bool,
+                    found_pre=None):
+        """Shared scan core of _split/_rsplit (split.rs:70-178, 10-68): one
+        backend scan over positions carrying (grid, ccb, stop_inc, ignore,
+        global_found).
+
+        Window geometry (the reference's literal quirks, kept bit-for-bit):
+        forward scan matches windows ENDING at i with the eq-mask read at
+        [i-m+1, i] but the ignore-mask WRITE at [i, i+m); reverse scan
+        matches windows STARTING at i (found only when i+m < L) with both
+        mask read and write at [i, i+m).
+        """
+        b = self.b
+        L = b.shape(s)[0]
+        m = b.shape(pat)[0]
+        positions = np.arange(L)
+
+        grid = b.trivial_chars(np.zeros((L, L), np.uint8))
         stop_inc = b.trivial_bits(0)
-        ignore = [b.trivial_bits(1) for _ in range(L)]
+        ignore = b.trivial_bits(np.ones(L, np.uint8))
         global_found = b.trivial_bits(0)
-        cols = []
         buffer_ids = b.trivial_chars(np.arange(L, dtype=np.uint8))
 
-        for i in range(L):
+        order = np.arange(L - 1, -1, -1) if reverse else np.arange(L)
+        if reverse:
+            # windows start at i; literal `i + m >= L -> no match`
+            valid = (m > 0) and (m <= L)
+            valid_i = np.array([valid and (i + m < L) for i in order], np.uint8)
+            win_start = np.array([min(i, max(L - m, 0)) for i in order])
+        else:
+            valid = (m > 0) and (m <= L)
+            valid_i = np.array([valid and (i >= m - 1) for i in order], np.uint8)
+            win_start = np.array([min(max(i - m + 1, 0), max(L - m, 0))
+                                  for i in order])
+        xs = {"i": order.astype(np.int32),
+              "valid": valid_i,
+              "win_start": win_start.astype(np.int32)}
+
+        grid = b.declare(grid, 3, 1.0)
+        ccb = b.declare(ccb, 3, 1.0)
+        stop_inc = b.declare_bits(stop_inc, 1, 1.0)
+        ignore = b.declare_bits(ignore, 1, 1.0)
+        global_found = b.declare_bits(global_found, 1, 1.0)
+
+        def body(carry, x):
+            grid, ccb, stop_inc, ignore, global_found = carry
+            i = x["i"]
+
             # copy_logic (split.rs:108-135)
             onehot = b.eq(buffer_ids, ccb)  # [L]
             if allow is not None:
                 onehot = b.and_(onehot, allow)
-            s_i = b.take(s, np.array([i]), axis=0)  # [1]
+            s_i = b.dynamic_slice(s, i, 1)  # [1]
             col = b.mul_bit(b.broadcast_to(b.reshape(s_i, (1,)), (L,)), onehot)
-            cols.append(col)
+            col = b.declare(col, 3, 1.0)
+            grid = b.dynamic_update_slice(
+                grid, b.reshape(col, (L, 1)), i, axis=1)
 
-            # split_pattern_matching (split.rs:70-106): window ends at i
-            if m > L or i < m - 1 or m == 0:
-                found = b.trivial_bits(0)
+            # pattern matching gated by the public validity of the window
+            if found_pre is not None:
+                found = b.dynamic_slice_bits(found_pre, i, 1)
+                found = b.reshape_bits(found, ())
+                found = b.declare_bits(found, 1, 1.0)
+            elif m == 0 or m > L:
+                found = b.declare_bits(b.trivial_bits(0), 1, 1.0)
             else:
-                start = i - m + 1
-                win = b.take(s, np.arange(start, start + m), axis=0)
+                ws = x["win_start"]
+                win = b.dynamic_slice(s, ws, m)
                 eqs = b.eq(win, pat)
-                masked = b.and_(eqs, b.stack([ignore[start + j] for j in range(m)], axis=0))
+                masked = b.and_(eqs, b.dynamic_slice_bits(ignore, ws, m))
                 found = b.all_axis(masked, 0)
-            not_found = b.not_(found)
-            for j in range(m):
-                if i + j < L:
-                    ignore[i + j] = b.and_(ignore[i + j], not_found)
+                vbit = b.trivial_bits_dyn(x["valid"])
+                found = b.and_(found, b.declare_bits(vbit, 1, 1.0))
+
+            # ignore-mask write over [i, i+m) intersect [0, L)
+            if m > 0 and m <= L:
+                not_found = b.not_(found)
+                upd = b.and_(ignore, b.reshape_bits(not_found, (1,)))  # [L]
+                wmask = (positions >= i) & (positions < i + m)
+                ignore = b.select_pmask_bits(wmask, upd, ignore)
             global_found = b.or_(global_found, found)
 
             # handle_n_case (split.rs:137-178)
@@ -516,10 +599,14 @@ class StringEngine:
                 inc = b.and_(found, b.not_(stop_inc))
                 ccb = b.add_chars(ccb, self._bit_to_char(inc))
 
-        grid = b.stack(cols, axis=1)  # [buffer j, position i]
-        buffers = self._clear_pattern_from_result(grid, pat, n_enc,
-                                                  is_inclusive, is_terminator)
-        return buffers, global_found
+            return (b.declare(grid, 3, 1.0), b.declare(ccb, 3, 1.0),
+                    b.declare_bits(stop_inc, 1, 1.0),
+                    b.declare_bits(ignore, 1, 1.0),
+                    b.declare_bits(global_found, 1, 1.0))
+
+        carry = (grid, ccb, stop_inc, ignore, global_found)
+        grid, ccb, stop_inc, ignore, global_found = b.scan(body, carry, xs, L)
+        return grid, global_found
 
     def _rsplit(self, s, pat, is_inclusive: bool, is_terminator: bool, n_enc):
         """split.rs:307-393 (reverse scan; windows START at i; empty-pattern
@@ -534,101 +621,93 @@ class StringEngine:
         allow = None
         if n_enc is not None:
             allow = b.ne(n_enc, b.trivial_chars(np.uint8(0)))
-        stop_inc = b.trivial_bits(0)
-        ignore = [b.trivial_bits(1) for _ in range(L)]
-        global_found = b.trivial_bits(0)
-        cols = [None] * L
-        buffer_ids = b.trivial_chars(np.arange(L, dtype=np.uint8))
 
-        for i in range(L - 1, -1, -1):
-            onehot = b.eq(buffer_ids, ccb)
-            if allow is not None:
-                onehot = b.and_(onehot, allow)
-            s_i = b.take(s, np.array([i]), axis=0)
-            cols[i] = b.mul_bit(b.broadcast_to(b.reshape(s_i, (1,)), (L,)), onehot)
+        found_pre = None
+        if m == 0:
+            # rsplit empty-pattern padding matcher (split.rs:10-40),
+            # vectorized over all positions (no ignore/ccb dependence):
+            # found_i = (prev_nonzero & cur_pad) | !cur_pad, prev_nonzero
+            # taken as 0 at i == 0.
+            cur_pad = b.eq_zero(s)                                # [L]
+            nz = b.ne_zero(s)
+            prev_nz = b.concat(
+                [b.trivial_bits(np.zeros(1, np.uint8)),
+                 b.take(nz, np.arange(L - 1), axis=0)], axis=0)   # [L]
+            found_pre = b.or_(b.and_(prev_nz, cur_pad), b.not_(cur_pad))
 
-            # rsplit_pattern_matching (split.rs:10-68)
-            if m == 0:
-                cur_pad = b.eq_zero(b.take(s, np.array([i]), axis=0))
-                cur_pad = b.reshape_bits(cur_pad, ())
-                if i >= 1:
-                    prev_nz = b.ne_zero(b.take(s, np.array([i - 1]), axis=0))
-                    prev_nz = b.reshape_bits(prev_nz, ())
-                    match_eos = b.and_(prev_nz, cur_pad)
-                    found = b.or_(match_eos, b.not_(cur_pad))
-                else:
-                    found = b.not_(cur_pad)
-            elif m > L or i + m >= L:
-                found = b.trivial_bits(0)
-            else:
-                win = b.take(s, np.arange(i, i + m), axis=0)
-                eqs = b.eq(win, pat)
-                masked = b.and_(eqs, b.stack([ignore[i + j] for j in range(m)], axis=0))
-                found = b.all_axis(masked, 0)
-            not_found = b.not_(found)
-            for j in range(m):
-                if i + j < L:
-                    ignore[i + j] = b.and_(ignore[i + j], not_found)
-            global_found = b.or_(global_found, found)
-
-            if n_enc is None:
-                ccb = b.add_chars(ccb, self._bit_to_char(found))
-            else:
-                n_minus1 = b.sub_chars(n_enc, b.trivial_chars(np.uint8(1)))
-                stop_inc = b.or_(stop_inc, b.eq(ccb, n_minus1))
-                inc = b.and_(found, b.not_(stop_inc))
-                ccb = b.add_chars(ccb, self._bit_to_char(inc))
-
-        grid = b.stack(cols, axis=1)
+        grid, global_found = self._split_scan(
+            s, pat, ccb, allow, n_enc, reverse=True, found_pre=found_pre)
         buffers = self._clear_pattern_from_result(grid, pat, n_enc,
                                                   is_inclusive, is_terminator)
         return buffers, global_found
 
+    def _delete_pattern_rows(self, rows, pat):
+        """Batched per-row delimiter deletion: value-identical to calling
+        replace(row, pat, NULs) + truncate per row (_handle_longer_from with
+        an all-NUL `to`: every matched window is zeroed, then compacted),
+        but one PBS batch over ALL rows at once."""
+        b = self.b
+        R, L = b.shape(rows)
+        m = b.shape(pat)[0]
+        # push trailing NUL column (mod.rs:841)
+        rows2 = b.concat(
+            [rows, b.trivial_chars(np.zeros((R, 1), np.uint8))], axis=1)
+        Lr = L + 1
+        if 0 < m <= Lr:
+            W = max(Lr - m, 1)  # adjust_end_of_pattern (mod.rs:856-859)
+            widx = np.arange(W)[:, None] + np.arange(m)[None, :]
+            wins = b.take(rows2, widx, axis=1)               # [R, W, m]
+            flags = b.all_axis(
+                b.eq(wins, b.reshape(pat, (1, 1, m))), 2)    # [R, W]
+            # cover[p] = any flag_i with i <= p < i+m  (all writes are NUL,
+            # so "last write wins" degenerates to any-covering-match)
+            cidx = np.arange(Lr)[:, None] - np.arange(m)[None, :]
+            valid = (cidx >= 0) & (cidx < W)
+            cover_w = b.take(flags, np.clip(cidx, 0, W - 1), axis=1)
+            cover_w = b.mul_pmask_bits(cover_w, valid[None])  # [R, Lr, m]
+            cover = b.any_axis(cover_w, 2)
+            rows2 = b.mul_bit(rows2, b.not_(cover))
+        out = self.compact_zeros_right(rows2)
+        return b.take(out, np.arange(L), axis=1)             # truncate
+
     def _clear_pattern_from_result(self, grid, pat, n_enc, is_inclusive,
                                    is_terminator):
-        """split.rs:180-305: delete delimiters from each buffer and compact."""
+        """split.rs:180-305: delete delimiters from each buffer and compact.
+        All (len+1) buffers processed as ONE batch (the reference loops rows
+        sequentially, split.rs:976-977 calls it the slowest part)."""
         b = self.b
-        nb = b.shape(grid)[0]  # number of buffers == buffer size
+        nb, Lg = b.shape(grid)
         m = b.shape(pat)[0]
-        zeros_pat = b.trivial_chars(np.zeros(m, np.uint8))
-        rows = [b.take(grid, np.array([j]), axis=0) for j in range(nb)]
-        rows = [b.reshape(r, (b.shape(grid)[1],)) for r in rows]
 
         if n_enc is not None:
-            stop_replacing = b.trivial_bits(0)
-            out_rows = []
-            for j, row in enumerate(rows):
-                enc_j1 = b.trivial_chars(np.uint8((j + 1) % 256))
-                stop_replacing = b.or_(stop_replacing, b.eq(n_enc, enc_j1))
-                current = self.compact_zeros_right(row)
-                replaced = self.replace(current, pat, zeros_pat)
-                Lr = b.shape(current)[0]
-                replaced = b.take(replaced, np.arange(Lr), axis=0)
-                out_rows.append(b.select(stop_replacing, current, replaced))
-            rows = out_rows
+            # stop latch per row j: stop_j = any_{k<=j} (n_enc == k+1)
+            ids = b.trivial_chars((np.arange(1, nb + 1) % 256).astype(np.uint8))
+            stop = b.cum_or(b.eq(ids, n_enc), 0)             # [nb]
+            current = self.compact_zeros_right(grid)
+            replaced = self._delete_pattern_rows(current, pat)
+            return b.select(b.reshape_bits(stop, (nb, 1)), current, replaced)
+
+        if not is_inclusive:
+            rows = self._delete_pattern_rows(grid, pat)
         else:
-            if not is_inclusive:
-                new_rows = []
-                for row in rows:
-                    Lr = b.shape(row)[0]
-                    rep = self.replace(row, pat, zeros_pat)
-                    new_rows.append(b.take(rep, np.arange(Lr), axis=0))
-                rows = new_rows
+            rows = self.compact_zeros_right(grid)
+        if is_terminator:
+            # split.rs:271-302, reproduced literally (including its
+            # no-op-for-nonempty-pattern behavior). Latch over rows scanned
+            # backwards == reverse-exclusive OR-scan of row-nonzero flags.
+            is_zero = b.all_axis(b.eq_zero(rows), 1)         # [nb]
+            if m == 0:
+                starts = b.trivial_bits(np.ones(nb, np.uint8))
+            elif m > Lg:
+                starts = b.trivial_bits(np.zeros(nb, np.uint8))
             else:
-                rows = [self.compact_zeros_right(r) for r in rows]
-            if is_terminator:
-                # split.rs:271-302, reproduced literally (including its
-                # no-op-for-nonempty-pattern behavior).
-                non_zero_found = b.trivial_bits(0)
-                for j in range(nb - 1, -1, -1):
-                    row = rows[j]
-                    is_zero = b.all_axis(b.eq_zero(row), 0)
-                    starts = self.starts_with(row, pat)
-                    should_delete = b.and_(b.and_(starts, is_zero),
-                                           b.not_(non_zero_found))
-                    rows[j] = b.mul_bit(row, b.not_(should_delete))
-                    non_zero_found = b.or_(non_zero_found, b.not_(is_zero))
-        return b.stack(rows, axis=0)
+                head = b.take(rows, np.arange(m), axis=1)    # [nb, m]
+                starts = b.all_axis(b.eq(head, b.reshape(pat, (1, m))), 1)
+            nzf = b.cum_or(b.not_(is_zero), 0, reverse=True, exclusive=True)
+            should_delete = b.and_(b.and_(starts, is_zero), b.not_(nzf))
+            rows = b.mul_bit(rows, b.reshape_bits(b.not_(should_delete),
+                                                  (nb, 1)))
+        return rows
 
     def split_ascii_whitespace(self, s):
         """split.rs:1377-1447: word-boundary state machine."""
@@ -640,23 +719,34 @@ class StringEngine:
         ws = b.is_whitespace(s)  # [L], vectorized
         not_ws = b.not_(ws)
         global_found = b.any_axis(ws, 0)
-        ccb = b.trivial_chars(np.uint8(0))
-        prev_ws = b.trivial_bits(1)
-        cols = []
         buffer_ids = b.trivial_chars(np.arange(L, dtype=np.uint8))
-        for i in range(L):
-            ws_i = b.reshape_bits(b.take(ws, np.array([i]), axis=0), ())
-            nws_i = b.reshape_bits(b.take(not_ws, np.array([i]), axis=0), ())
+
+        grid = b.declare(b.trivial_chars(np.zeros((L, L), np.uint8)), 3, 1.0)
+        ccb = b.declare(b.trivial_chars(np.uint8(0)), 3, 1.0)
+        # prev_ws starts as trivial 1 (word-start latch), later carries the
+        # PBS output of is_whitespace.
+        prev_ws = b.declare_bits(b.trivial_bits(1), 1, 1.0)
+        ws = b.declare_bits(ws, 1, 1.0)
+        not_ws = b.declare_bits(not_ws, 1, 1.0)
+
+        def body(carry, x):
+            grid, ccb, prev_ws = carry
+            i = x["i"]
+            ws_i = b.reshape_bits(b.dynamic_slice_bits(ws, i, 1), ())
+            nws_i = b.reshape_bits(b.dynamic_slice_bits(not_ws, i, 1), ())
             should_inc = b.and_(ws_i, b.not_(prev_ws))
             ccb = b.add_chars(ccb, self._bit_to_char(should_inc))
             onehot = b.eq(buffer_ids, ccb)
             copy_flag = b.and_(onehot, nws_i)
-            s_i = b.take(s, np.array([i]), axis=0)
-            cols.append(b.mul_bit(b.broadcast_to(b.reshape(s_i, (1,)), (L,)),
-                                  copy_flag))
-            prev_ws = ws_i
-        grid = b.stack(cols, axis=1)  # [j, i]
-        rows = [self.compact_zeros_right(
-            b.reshape(b.take(grid, np.array([j]), axis=0), (L,)))
-            for j in range(L)]
-        return b.stack(rows, axis=0), global_found
+            s_i = b.dynamic_slice(s, i, 1)
+            col = b.mul_bit(b.broadcast_to(b.reshape(s_i, (1,)), (L,)),
+                            copy_flag)
+            grid = b.dynamic_update_slice(
+                grid, b.reshape(col, (L, 1)), i, axis=1)
+            return (b.declare(grid, 3, 1.0), b.declare(ccb, 3, 1.0),
+                    b.declare_bits(ws_i, 1, 1.0))
+
+        xs = {"i": np.arange(L, dtype=np.int32)}
+        grid, _, _ = b.scan(body, (grid, ccb, prev_ws), xs, L)
+        rows = self.compact_zeros_right(grid, axis=-1)  # batched over rows
+        return rows, global_found

@@ -72,12 +72,29 @@ class MetricsRecord:
 GLOBAL = Counters()
 RECORDS: list[MetricsRecord] = []
 
+# Under jax.lax.scan the loop body is traced ONCE but executed `length`
+# times; engine scans wrap the trace in scan_scope(length) so dispatch
+# counts reflect actual executions.
+_SCAN_MULT = 1
+
+
+@contextlib.contextmanager
+def scan_scope(length: int):
+    """Multiply PBS tallies recorded inside by `length` (lax.scan bodies)."""
+    global _SCAN_MULT
+    prev = _SCAN_MULT
+    _SCAN_MULT = prev * int(length)
+    try:
+        yield
+    finally:
+        _SCAN_MULT = prev
+
 
 def record_pbs(n_items: int, n_padded: int) -> None:
     """Called by ShortintContext on every batched-PBS dispatch."""
-    GLOBAL.pbs_calls += 1
-    GLOBAL.pbs_items += int(n_items)
-    GLOBAL.pbs_items_padded += int(n_padded)
+    GLOBAL.pbs_calls += _SCAN_MULT
+    GLOBAL.pbs_items += int(n_items) * _SCAN_MULT
+    GLOBAL.pbs_items_padded += int(n_padded) * _SCAN_MULT
 
 
 @contextlib.contextmanager

@@ -143,3 +143,23 @@ PARAM_TEST_NOISY = CryptoParams(
     ks_base_log=3,
     ks_level=5,
 )
+
+# Statistically meaningful CI noise set: same RELATIVE lwe noise as prod
+# (sigma_lwe ~ 2^-17.1) so keyswitch output noise exercises the same order
+# of magnitude of the half-slot margin as production, at CI-sized dims.
+# Small n/N keep the absolute blind-rotation noise low, so the margin here
+# is wider than prod's — prod margins are measured on-device by
+# benchmarks/noise_calibration.py. NOT SECURE — tests only.
+PARAM_TEST_STAT = CryptoParams(
+    name="test_stat",
+    q_bits=64,
+    lwe_dimension=32,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_std=0.000007069849454709433,
+    glwe_noise_std=2.0**-40,
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+)

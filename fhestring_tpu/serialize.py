@@ -91,7 +91,9 @@ def save_server_key(path: str, ck) -> None:
     )
 
 
-def load_server_key(path: str):
+def load_server_key(path: str, with_ntt2: bool | None = None):
+    import jax
+
     from .crypto.keys import pack_server_keys
     from .server import ServerKey
 
@@ -99,7 +101,9 @@ def load_server_key(path: str):
     assert str(data["kind"]) == "server_key", data["kind"]
     params = params_from_json(str(data["params"]))
     raw = ref.ServerKeys(params, data["bsk"], data["ksk"])
-    return ServerKey(pack_server_keys(raw), params)
+    if with_ntt2 is None:
+        with_ntt2 = jax.default_backend() != "cpu"
+    return ServerKey(pack_server_keys(raw, with_ntt2=with_ntt2), params)
 
 
 # ---------------------------------------------------------------------------

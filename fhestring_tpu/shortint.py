@@ -132,7 +132,12 @@ class ShortintContext:
     def _bank_for(self, tables: tuple[tuple[int, ...], ...]) -> torus.U64:
         key = tables
         if key not in self._lut_cache:
-            self._lut_cache[key] = pack_luts([list(t) for t in tables], self.params)
+            # The cache outlives any single trace; build the bank under
+            # compile-time eval so a first use inside a lax.scan body does
+            # not stage the constant into (and leak it out of) that trace.
+            with jax.ensure_compile_time_eval():
+                self._lut_cache[key] = pack_luts(
+                    [list(t) for t in tables], self.params)
         return self._lut_cache[key]
 
     def _pbs_padded(self, flat: torus.U64, idx: jnp.ndarray, bank: torus.U64):
@@ -150,11 +155,16 @@ class ShortintContext:
             flat = U64(jnp.concatenate([flat.lo, zlo]),
                        jnp.concatenate([flat.hi, zlo]))
             idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
-        # On TPU, always take the Pallas kernels (the gather-built einsum
-        # path compiles pathologically there); on CPU keep the einsum path
+        # On TPU, take the fused whole-blind-rotation NTT kernel when the
+        # NTT2-domain key is packed (measured 575 vs 428 PBS/s for the
+        # Hankel-matmul kernel at B=1024, prod params, v5e — benchmarks/
+        # RESULTS.md), else the matmul kernel; on CPU keep the einsum path
         # (native XLA, no interpret overhead).
-        use_pallas = jax.default_backend() != "cpu"
-        out = pbs_batch(flat, idx, bank, self.keys, use_pallas=use_pallas)
+        on_tpu = jax.default_backend() != "cpu"
+        use_fused = on_tpu and self.keys.bsk_ntt2 is not None
+        out = pbs_batch(flat, idx, bank, self.keys,
+                        use_pallas=on_tpu and not use_fused,
+                        use_fused=use_fused)
         if padded != n:
             out = U64(out.lo[:n], out.hi[:n])
         return out

@@ -1,0 +1,115 @@
+"""Real-TPU kernel tier: run the Pallas kernels NON-interpreted on the chip
+and compare bit-exactly against the NumPy oracle.
+
+The default CI suite (tests/) forces JAX_PLATFORMS=cpu and runs every Pallas
+kernel in interpret mode, so a Mosaic miscompile would be invisible there.
+This tier exists to catch exactly that. It lives outside tests/ (whose
+conftest pins the CPU backend) and must be run with the chip attached:
+
+    python -m pytest tests_tpu/ -q          # one command, ~2 min warm
+
+Uses PARAM_TEST_ZERO_NOISE shapes (N=256, n=16) so compiles are small; the
+production-shape path is exercised by bench.py's correctness spot check.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+if jax.default_backend() == "cpu":  # pragma: no cover
+    pytest.skip("TPU tier: requires a non-CPU backend", allow_module_level=True)
+
+import jax.numpy as jnp
+
+from fhestring_tpu import torus
+from fhestring_tpu.crypto import keys as dkeys
+from fhestring_tpu.crypto import ntt2
+from fhestring_tpu.crypto import pbs as dpbs
+from fhestring_tpu.crypto.kernels import ntt_ext
+from fhestring_tpu.crypto.kernels.blind_rotate_fused import (
+    blind_rotate_fused, pack_fused_consts)
+from fhestring_tpu.numpy_ref import core as ref
+from fhestring_tpu.params import PARAM_TEST_ZERO_NOISE
+
+P = PARAM_TEST_ZERO_NOISE
+
+
+@pytest.fixture(scope="module")
+def keyed():
+    rng = np.random.default_rng(21)
+    sk, srv = ref.keygen(P, rng)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=True)
+    return sk, srv, dev
+
+
+def test_ntt_ext_kernel_on_chip():
+    n, B, R, kp1 = P.polynomial_size, 64, 2, 2
+    rng = np.random.default_rng(5)
+    digits = rng.integers(-(1 << 22), (1 << 22) + 1, size=(B, R, n))
+    dl = []
+    state = digits.astype(np.int64)
+    for _ in range(3):
+        l = ((state + 128) % 256) - 128
+        dl.append(l.astype(np.int8))
+        state = (state - l) >> 8
+    dl = np.stack(dl, axis=-1)
+    key = rng.integers(0, 1 << 64, size=(R, kp1, n), dtype=np.uint64)
+    raw_limbs = np.moveaxis(dkeys.balanced_limbs_u64(key), -1, -2)
+    khat = ntt2.key_hats(raw_limbs, n)
+    lo_ref, hi_ref = ntt2.ext_u64_ntt2_numpy(dl, khat, n)
+
+    khat6 = khat.reshape(khat.shape[:-1] + (n // 128, 128))
+    consts = ntt_ext.pack_neg_consts(n)
+    dlk = np.transpose(dl, (3, 0, 1, 2)).reshape(3, B, R * n)
+    lo, hi = ntt_ext.ntt_ext_u64(jnp.asarray(dlk), jnp.asarray(khat6),
+                                 consts, n_poly=n, b_tile=64,
+                                 interpret=False)
+    np.testing.assert_array_equal(np.asarray(lo), lo_ref)
+    np.testing.assert_array_equal(np.asarray(hi), hi_ref)
+
+
+def test_fused_blind_rotation_on_chip(keyed):
+    sk, srv, dev = keyed
+    B, N, kp1 = 64, P.polynomial_size, P.glwe_dimension + 1
+    rng = np.random.default_rng(7)
+    acc0 = rng.integers(0, 1 << 64, size=(B, kp1, N), dtype=np.uint64)
+    lwe = np.zeros((B, P.lwe_dimension + 1), np.int32)
+    lwe[:, :-1] = rng.integers(0, 2 * N, size=(B, P.lwe_dimension))
+
+    want_lo, want_hi = None, None
+    # Oracle: numpy blind rotation, bit-exact target.
+    acc_np = acc0.copy()
+    want = np.stack([ref.blind_rotate_ref(srv, acc_np[i], lwe[i])
+                     for i in range(B)]) \
+        if hasattr(ref, "blind_rotate_ref") else None
+    if want is None:
+        # Fall back to the (already CI-trusted) device step-by-step path.
+        acc = torus.from_numpy(acc0)
+        want = torus.to_numpy(dpbs.blind_rotate(acc, jnp.asarray(lwe), dev))
+
+    consts = pack_fused_consts(N)
+    amounts = jnp.asarray(lwe[:, :P.lwe_dimension])
+    acc = torus.from_numpy(acc0)
+    lo, hi = blind_rotate_fused(acc.lo, acc.hi, amounts, dev.bsk_ntt2,
+                                consts, n_poly=N, base_log=P.pbs_base_log,
+                                b_tile=64, interpret=False)
+    got = np.asarray(lo).astype(np.uint64) | (
+        np.asarray(hi).astype(np.uint64) << np.uint64(32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_pbs_on_chip(keyed):
+    """End-to-end pbs_batch on the chip (fused path): decrypts to table[m]."""
+    sk, srv, dev = keyed
+    rng = np.random.default_rng(3)
+    B = 64
+    table = [(3 * x + 1) % 16 for x in range(16)]
+    bank = dkeys.pack_luts([table], P)
+    msgs = rng.integers(0, 16, size=B)
+    cts = np.stack([ref.shortint_encrypt(sk, int(m), rng) for m in msgs])
+    out = dpbs.pbs_batch(torus.from_numpy(cts), np.zeros(B, np.int32),
+                         bank, dev, use_fused=True)
+    host = torus.to_numpy(out)
+    got = [ref.shortint_decrypt(sk, host[i]) for i in range(B)]
+    assert got == [table[m] for m in msgs]

@@ -388,9 +388,10 @@ def _digit_limbs(diff: U64, p: CryptoParams) -> jnp.ndarray:
 
 def _ext_planes_einsum(dl: jnp.ndarray, bsk_j: jnp.ndarray,
                        p: CryptoParams) -> jnp.ndarray:
-    """Gather+einsum path (CPU/test): planes int32 [B, k+1, 8, N]."""
+    """Gather+einsum path (CPU/test): planes int32 [B, kp1, 8, N].
+    kp1 is taken from bsk_j (may be a key-sharded slice of k+1)."""
     N = p.polynomial_size
-    kp1 = p.glwe_dimension + 1
+    kp1 = bsk_j.shape[1]
     B = dl.shape[0]
     num_digit_limbs = dl.shape[-1]
 
@@ -451,14 +452,19 @@ def _external_product_accumulate(acc: U64, diff: U64, bsk_j: jnp.ndarray,
 def _neg_consts_cached(n: int, num_la: int):
     from .kernels.ntt_ext import pack_neg_consts
 
-    return pack_neg_consts(n, num_la)
+    # Built under compile-time eval: the cache outlives any single trace, so
+    # a first use inside a jit/scan trace must not stage these constants
+    # into (and leak them out of) that trace.
+    with jax.ensure_compile_time_eval():
+        return pack_neg_consts(n, num_la)
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_consts_cached(n: int, num_la: int):
     from .kernels.blind_rotate_fused import pack_fused_consts
 
-    return pack_fused_consts(n, num_la)
+    with jax.ensure_compile_time_eval():
+        return pack_fused_consts(n, num_la)
 
 
 def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,

@@ -2,14 +2,27 @@
 
 The reference is single-process, single-node (rayon threads only —
 SURVEY.md section 2.4); parallel scale-out is new design territory for the
-TPU build. The unit of parallelism here is the PBS batch axis (string
-positions x radix blocks x concurrent ops): pure data parallelism across
-chips, with evaluation keys replicated (48 MB BSK + 61 MB KSK). Aggregate
-bits (contains' OR-tree, len's popcount, eq's AND-tree) reduce across chips
-via XLA collectives inserted by GSPMD — they ride ICI, not DCN.
+TPU build. Two shardings are implemented:
 
-NTT-stage/TP sharding of the polynomial axis (for very large N or key-
-sharded deployments) is a planned extension; see SURVEY.md section 7 step 8.
+1. **Batch sharding** (pbs_batch_sharded): the PBS batch axis (string
+   positions x radix blocks x concurrent ops) is pure data parallelism;
+   evaluation keys replicated (48 MB BSK + 61 MB KSK per chip at prod
+   params). Aggregate bits (contains' OR-tree, len's popcount, eq's
+   AND-tree) reduce across chips via GSPMD collectives over ICI. Zero
+   communication inside a PBS — this is the default and wins whenever the
+   keys fit in HBM.
+
+2. **Key sharding / tensor parallelism** (pbs_batch_keysharded): the BSK is
+   sharded over the GLWE output axis (k+1) and the KSK over its contraction
+   rows, so per-chip key memory drops by the mesh size. The cost is one
+   all_gather of the external-product delta ([B, (k+1)/d, N] u64) per
+   blind-rotation step plus one psum in the keyswitch. When it wins: when
+   key material doesn't fit per-chip HBM — multi-tenant serving holding
+   MANY clients' bootstrap keys resident, or large-N / multi-level
+   parameter sets (BSK is O(n*ell*(k+1)^2*N); doubling N at ell=2 already
+   exceeds 380 MB/key). For the single-key prod set, batch sharding is
+   strictly faster — the per-step all_gather (~(k+1)*N*8B per item) is pure
+   overhead. SURVEY.md section 2.4 item 3 / section 7 step 8.
 """
 
 from __future__ import annotations
@@ -77,3 +90,117 @@ def pbs_batch_sharded(ct, lut_idx, lut_bank, keys, mesh: Mesh,
         check_vma=False,
     )
     return fn(ct, lut_idx, lut_bank, keys)
+
+
+# ---------------------------------------------------------------------------
+# Key-sharded PBS (tensor parallelism over the key axes)
+# ---------------------------------------------------------------------------
+
+KEY_AXIS = "key"
+
+
+def make_key_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (KEY_AXIS,))
+
+
+def pbs_batch_keysharded(ct, lut_idx, lut_bank, keys, mesh: Mesh):
+    """Batched PBS with the EVALUATION KEYS sharded across the mesh.
+
+    BSK sharded over the GLWE output axis (k+1): each chip computes its
+    output-poly slice of every external product and all_gathers the delta
+    before the accumulator update (the next step's rotation/decomposition
+    needs the full accumulator). KSK sharded over contraction rows with a
+    psum. Bit-identical to pbs_batch (tests/test_parallel.py).
+
+    Requires (k+1) % mesh_size == 0 and (kN * ks_level) % mesh_size == 0.
+    See the module docstring for when this beats batch sharding.
+    """
+    from functools import partial as _partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from . import torus
+    from .crypto import pbs as dpbs
+    from .torus import U64
+
+    p = keys.params
+    nd = mesh.devices.size
+    kp1 = p.glwe_dimension + 1
+    K = p.big_lwe_dimension * p.ks_level
+    assert kp1 % nd == 0, (kp1, nd)
+    assert K % nd == 0, (K, nd)
+    N = p.polynomial_size
+
+    def inside(ct, lut_idx, bank, bsk_shard, ksk_shard):
+        me = jax.lax.axis_index(KEY_AXIS)
+        B = ct.lo.shape[0]
+
+        # -- keyswitch with row-sharded KSK + psum -------------------------
+        kn = p.big_lwe_dimension
+        a = U64(ct.lo[:, :kn], ct.hi[:, :kn])
+        b = U64(ct.lo[:, kn], ct.hi[:, kn])
+        digits = dpbs.decompose(a, p.ks_base_log, p.ks_level)
+        d = jax.numpy.transpose(digits, (1, 2, 0)).astype(jax.numpy.int8)
+        d = d.reshape(d.shape[0], K)
+        kloc = K // nd
+        d_local = jax.lax.dynamic_slice_in_dim(d, me * kloc, kloc, axis=1)
+        planes = jax.lax.dot(d_local, ksk_shard,
+                             preferred_element_type=jax.numpy.int32)
+        planes = jax.lax.psum(planes, KEY_AXIS)
+        planes = planes.reshape(B, p.lwe_dimension + 1, 8)
+        acc_ks = dpbs.recombine_planes(planes)
+        out = torus.neg(acc_ks)
+        out_lo = out.lo.at[:, -1].add(b.lo)
+        carry = (out_lo[:, -1] < out.lo[:, -1]).astype(jax.numpy.uint32)
+        out_hi = out.hi.at[:, -1].add(b.hi + carry)
+        small = U64(out_lo, out_hi)
+
+        lwe_2n = dpbs.modswitch(small, p)
+        bb = lwe_2n[:, -1]
+        sel = U64(bank.lo[lut_idx], bank.hi[lut_idx])
+        poly = U64(sel.lo[:, None, :N], sel.hi[:, None, :N])
+        body = dpbs._negacyclic_rotate_shear(
+            poly, (2 * N - bb) & (2 * N - 1), N)
+        body = U64(body.lo[:, 0], body.hi[:, 0])
+        acc = torus.concatenate(
+            [torus.zeros((B, p.glwe_dimension, N)),
+             torus.reshape(body, (B, 1, N))], axis=1)
+
+        # -- blind rotation: local ext-product slice + all_gather ----------
+        def step(j, acc):
+            a_j = jax.lax.dynamic_slice_in_dim(lwe_2n, j, 1, axis=1)[:, 0]
+            bsk_j = jax.lax.dynamic_slice_in_dim(bsk_shard, j, 1, axis=0)[0]
+            rotated = dpbs._negacyclic_rotate_shear(acc, a_j, N)
+            diff = torus.sub(rotated, acc)
+            dl = dpbs._digit_limbs(diff, p)
+            planes = dpbs._ext_planes_einsum(dl, bsk_j, p)  # [B, kp1/nd,...]
+            ext = dpbs.recombine_planes(
+                jax.numpy.moveaxis(planes, 2, -1))
+            full = U64(
+                jax.lax.all_gather(ext.lo, KEY_AXIS, axis=1, tiled=True),
+                jax.lax.all_gather(ext.hi, KEY_AXIS, axis=1, tiled=True))
+            return torus.add(acc, full)
+
+        acc = jax.lax.fori_loop(0, p.lwe_dimension, step, acc)
+        return dpbs.sample_extract(acc, p)
+
+    spec_r = P()
+    fn = shard_map(
+        inside,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: spec_r, ct),
+            spec_r,
+            jax.tree.map(lambda _: spec_r, lut_bank),
+            P(None, None, KEY_AXIS),   # bsk_limbs [n, R, k+1, 8, 2N]
+            P(KEY_AXIS),               # ksk_limbs [K, (n+1)*8]
+        ),
+        out_specs=jax.tree.map(lambda _: spec_r, ct),
+        check_vma=False,
+    )
+    return fn(ct, lut_idx, lut_bank, keys.bsk_limbs, keys.ksk_limbs)

@@ -141,13 +141,36 @@ class ShortintContext:
         return self._lut_cache[key]
 
     def _pbs_padded(self, flat: torus.U64, idx: jnp.ndarray, bank: torus.U64):
-        """Run pbs_batch with the batch padded to a power of two, bounding
-        the number of distinct compiled shapes (the blind-rotation loop is
-        expensive to trace/compile)."""
+        """Run pbs_batch with the batch padded to a bounded set of widths.
+
+        On TPU the fused blind-rotation kernel pays a long one-time Mosaic
+        compile per distinct batch shape, so we bucket to exactly {128,
+        multiples of 1024}: every string method then shares at most two
+        compiled PBS programs. On CPU (einsum path, cheap compiles, compute
+        scales with the pad) we keep the tighter power-of-two padding."""
         from . import metrics
 
         n = flat.lo.shape[0]
-        padded = max(8, 1 << (n - 1).bit_length()) if n > 1 else 8
+        on_cpu = jax.default_backend() == "cpu"
+        # Very wide batches (e.g. whole split grids compacted at once) are
+        # processed in fixed-size chunks: bounds peak accumulator memory
+        # (acc is [B, k+1, N] u64 inside the rotation) and keeps the set of
+        # compiled shapes closed under growth.
+        max_chunk = 4096 if on_cpu else 8192
+        if n > max_chunk:
+            outs = []
+            for s in range(0, n, max_chunk):
+                e = min(s + max_chunk, n)
+                outs.append(self._pbs_padded(
+                    U64(flat.lo[s:e], flat.hi[s:e]), idx[s:e], bank))
+            return U64(jnp.concatenate([o.lo for o in outs]),
+                       jnp.concatenate([o.hi for o in outs]))
+        if on_cpu:
+            padded = max(8, 1 << (n - 1).bit_length()) if n > 1 else 8
+        elif n <= 128:
+            padded = 128
+        else:
+            padded = -(-n // 1024) * 1024
         metrics.record_pbs(n, padded)
         if padded != n:
             pad = padded - n

@@ -74,3 +74,25 @@ def test_lane_sharded_contains_matches(ctx):
 
     got = int(ck.decrypt_bits(Blocks(bit.ct, 1, 1.0)))
     assert got == 1
+
+
+def test_keysharded_pbs_matches_unsharded(ctx):
+    """BSK sharded over the GLWE output axis + KSK row-sharded (tensor
+    parallelism over the key axes): bit-identical to pbs_batch."""
+    p, rng, sk, dev = ctx
+    table = [(3 * m + 1) % 16 for m in range(16)]
+    bank = dkeys.pack_luts([table], p)
+    B = 8
+    msgs = rng.integers(0, 16, size=B)
+    cts = np.stack([ref.shortint_encrypt(sk, int(m), rng) for m in msgs])
+    dct = torus.from_numpy(cts)
+    idx = np.zeros(B, np.int32)
+
+    want = torus.to_numpy(dpbs.pbs_batch(dct, idx, bank, dev))
+
+    mesh = parallel.make_key_mesh(2)  # k+1 == 2 output polys
+    got = torus.to_numpy(
+        parallel.pbs_batch_keysharded(dct, idx, bank, dev, mesh))
+    np.testing.assert_array_equal(got, want)
+    for i in range(B):
+        assert ref.shortint_decrypt(sk, want[i]) == table[msgs[i]]

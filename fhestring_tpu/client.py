@@ -77,6 +77,35 @@ class ClientKey:
     def get_public_parameters(self) -> PublicParameters:
         return self.public_parameters
 
+    def get_public_key(self, zero_count: int | None = None):
+        """LWE public key: encryptions of zero enabling encryption WITHOUT
+        the secret key (numpy_ref.public_encrypt).
+
+        Functional parity with the tfhe-rs PublicKey the reference
+        constructs and threads through PublicParameters but never actually
+        uses (reference src/client_key.rs:32, fheasciichar.rs:22 — every
+        server-side constant is a trivial encryption instead). At the LHL-
+        secure zero_count the key is multi-GB at production parameters —
+        the same tradeoff that made the reference leave its copy unused —
+        so it is built on demand rather than carried in PublicParameters.
+        """
+        return ref.public_keygen(self.secret, self._rng,
+                                 zero_count=zero_count)
+
+    def encrypt_with_public_key(self, pk, string: str,
+                                padding: int = 1) -> FheString:
+        """Public-key string encryption (NUL-padding protocol as encrypt)."""
+        self._check_ascii(string)
+        data = string.encode("ascii") + b"\0" * padding
+        p = self.params
+        n_ct = p.big_lwe_dimension + 1
+        out = np.zeros((len(data), NB, n_ct), dtype=np.uint64)
+        for i, byte in enumerate(data):
+            for b in range(NB):
+                out[i, b] = ref.public_encrypt(pk, (byte >> (2 * b)) & 3,
+                                               self._rng)
+        return FheString(Blocks(torus.from_numpy(out), 3, 1.0))
+
     # ---- encryption ---------------------------------------------------------
     def _encrypt_bytes(self, data: bytes) -> Blocks:
         """Encrypt bytes as [len, 4, kN+1] block tensor."""

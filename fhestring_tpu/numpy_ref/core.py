@@ -392,6 +392,52 @@ def shortint_encrypt(sk: SecretKeys, value: int, rng: np.random.Generator) -> np
     return lwe_encrypt_raw(sk.big_lwe_sk, encode(value, p), p.glwe_noise_std, rng)
 
 
+# ---------------------------------------------------------------------------
+# LWE public key: encryptions of zero; public-key encryption is a random
+# binary subset-sum of them plus the trivial plaintext. Functional parity
+# with the tfhe-rs PublicKey the reference constructs (and never uses —
+# reference src/client_key.rs:32, fheasciichar.rs:22).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PublicKey:
+    """zeros: [M, dim+1] LWE encryptions of 0 under the big key.
+
+    Security rests on LWE + the leftover hash lemma, which needs
+    M >= (dim+1) * log2(q) + ~128 — at production parameters that is the
+    same multi-GB object tfhe-rs ships for its PublicKey (the reason the
+    reference threads but never uses one). Smaller M (tests) still
+    decrypts correctly but does not achieve the LHL bound.
+    """
+
+    params: CryptoParams
+    zeros: np.ndarray
+
+    @property
+    def standard_count(self) -> int:
+        return (self.zeros.shape[1]) * self.params.q_bits + 128
+
+
+def public_keygen(sk: SecretKeys, rng: np.random.Generator,
+                  zero_count: int | None = None) -> PublicKey:
+    p = sk.params
+    dim = sk.big_lwe_sk.shape[0]
+    m = zero_count or (dim + 1) * p.q_bits + 128
+    zeros = np.stack([
+        lwe_encrypt_raw(sk.big_lwe_sk, U64(0), p.glwe_noise_std, rng)
+        for _ in range(m)])
+    return PublicKey(p, zeros)
+
+
+def public_encrypt(pk: PublicKey, value: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Shortint public-key encryption: random subset-sum of zeros + value."""
+    r = rng.integers(0, 2, size=pk.zeros.shape[0], dtype=U64)
+    ct = (pk.zeros * r[:, None]).sum(axis=0, dtype=U64)
+    ct[-1] = U64(ct[-1] + encode(value, pk.params))
+    return ct
+
+
 def shortint_decrypt(sk: SecretKeys, ct: np.ndarray) -> int:
     p = sk.params
     phase = lwe_decrypt_raw(sk.big_lwe_sk, ct)

@@ -110,3 +110,16 @@ class TestNBCollision:
         parts, found = ck.decrypt_split(srv.split_clear(s, "."))
         assert [p for p in parts if p] == ["a", "b"]
         assert found == 1
+
+
+class TestPublicKey:
+    def test_public_key_encrypt_roundtrip_and_op(self, ctx):
+        """Public-key (zero-encryption subset-sum) parity: the reference
+        builds a tfhe PublicKey it never uses (client_key.rs:32); here it
+        is a usable encryption path. Small zero_count for CI speed (the
+        LHL-secure count is documented in numpy_ref.public_keygen)."""
+        ck, srv = ctx
+        pk = ck.get_public_key(zero_count=512)
+        s = ck.encrypt_with_public_key(pk, "Pk!", padding=2)
+        assert ck.decrypt(s) == "Pk!"
+        assert ck.decrypt_char(srv.contains_clear(s, "k!")) == 1

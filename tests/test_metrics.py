@@ -33,3 +33,30 @@ def test_reset_clears():
     metrics.reset()
     assert metrics.GLOBAL.pbs_calls == 0
     assert metrics.report()["records"] == []
+
+
+def test_pbs_counts_identical_cold_vs_warm():
+    """Round-1 verdict item: PBS tallies must not undercount on jit-cached
+    re-execution. Engine ops dispatch _pbs_padded eagerly and scans re-trace
+    per call under scan_scope, so a warm re-run of the same method must
+    count exactly the same PBS as the cold run — including a scan-based
+    method (replace) and a batched split."""
+    from fhestring_tpu import PARAM_TEST_ZERO_NOISE
+    from fhestring_tpu.client import ClientKey
+
+    ck = ClientKey(PARAM_TEST_ZERO_NOISE, seed=2)
+    srv = ck.get_server_key()
+    s = ck.encrypt("aXbX", 1)
+
+    def run_once():
+        metrics.reset()
+        out = srv.replace_clear(s, "X", "yz")   # shorter-from: scan path
+        sp = srv.split_clear(s, "X")            # split scan + batched pass
+        ck.decrypt(out), ck.decrypt_split(sp)
+        return (metrics.GLOBAL.pbs_calls, metrics.GLOBAL.pbs_items,
+                metrics.GLOBAL.pbs_items_padded)
+
+    cold = run_once()
+    warm = run_once()
+    assert cold == warm, (cold, warm)
+    assert cold[0] > 0

@@ -68,6 +68,14 @@ def main():
                          "(the default on TPU)")
     ap.add_argument("--matmul", action="store_true",
                     help="force the Hankel-matmul kernel path")
+    ap.add_argument("--rounded", action="store_true",
+                    help="fused kernel with ROUNDED gadget decomposition "
+                         "(plaintext-equivalent; shears one int32 plane "
+                         "instead of the u64 accumulator)")
+    ap.add_argument("--approx", action="store_true",
+                    help="fused kernel with plane-truncated external product "
+                         "(plaintext-equivalent; drops shift planes < 256^3, "
+                         "removing one inverse NTT of three)")
     args = ap.parse_args()
 
     import jax
@@ -143,7 +151,8 @@ def main():
     def run():
         return dpbs.pbs_batch(dct, idx, bank, dev, use_pallas=use_pallas,
                               use_ntt=args.ntt, use_ntt2=args.ntt2,
-                              use_fused=args.fused)
+                              use_fused=args.fused, rounded=args.rounded,
+                              approx=args.approx)
 
     t0 = time.time()
     out = run()

@@ -130,7 +130,7 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
                   w1f_ref, w1i_ref, wblki_ref, lo_ref, hi_ref,
                   acclo_s, acchi_s, dhat_ref, work_ref, res_ref, *,
                   n: int, bt: int, num_la: int, num_r: int, kp1: int,
-                  n_steps: int, base_log: int, rounded: bool):
+                  n_steps: int, base_log: int, rounded: bool, g0: int):
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     C = bt * n // (LANE * LANE)
@@ -216,6 +216,11 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
         A_las.append(jnp.concatenate(xts, axis=0)
                      .reshape(num_r * C * LANE, LANE))
 
+    # g0 > 0 = approx mode: output shift planes s = la+lb < 3*g0 are dropped
+    # entirely (pointwise pairs, inverse transforms, CRT) — the truncation
+    # error is low-order noise inside the parameter budget, mirroring
+    # tfhe-rs's f64 FFT error (oracle: numpy_ref.polymul_planes).
+    NG = NUM_GROUPS - g0
     pairs = [[(la, lb) for la in range(num_la) for lb in range(NUM_LB)
               if la + lb < NUM_LB and (la + lb) // GROUP == g]
              for g in range(NUM_GROUPS)]
@@ -247,7 +252,7 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
         uhats = []
         pb = db * ((p - 1) // 2)
         for jout in range(kp1):
-            for g in range(NUM_GROUPS):
+            for g in range(g0, NUM_GROUPS):
                 acc = _Acc(p)
                 for (la, lb) in pairs[g]:
                     for i in range(num_r):
@@ -261,14 +266,14 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
                         np.array(pow(pow(256, 3 * g, p), p - 2, p)), p)
                     u, ub = _modc_f(u * np.int32(sc), ub * ((p - 1) // 2), p)
                 uhats.append(u)                        # [C, (k2,b8), k1]
-        uall = jnp.stack(uhats)                        # [kp1*G, C, .., ..]
+        uall = jnp.stack(uhats)                        # [kp1*NG, C, .., ..]
 
         # ---- inverse --------------------------------------------------------
         u0, u1 = _split2(uall)
         for kk in range(n2):
             rows = slice(kk * nb, (kk + 1) * nb)
-            a0 = u0[:, :, rows, :].reshape(kp1 * NUM_GROUPS * C * nb, LANE)
-            a1 = u1[:, :, rows, :].reshape(kp1 * NUM_GROUPS * C * nb, LANE)
+            a0 = u0[:, :, rows, :].reshape(kp1 * NG * C * nb, LANE)
+            a1 = u1[:, :, rows, :].reshape(kp1 * NG * C * nb, LANE)
             wl = w1i_ref[pi, kk]
             t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
                             + (_dot8(a1, wl[1]) << 8),
@@ -276,19 +281,20 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
             qv, qb = _modc_f(_dot8(a0, wl[0]) + (t << 8),
                              (1 << 21) + (tb << 8), p)
             work_ref[:, rows, :] = qv.reshape(
-                kp1 * NUM_GROUPS * C, nb, LANE)
+                kp1 * NG * C, nb, LANE)
         qt = jnp.swapaxes(work_ref[...], 1, 2)         # rows j1, lanes (k2,b8)
         res, _ = _stage_dots(
-            qt.reshape(kp1 * NUM_GROUPS * C * LANE, LANE),
+            qt.reshape(kp1 * NG * C * LANE, LANE),
             wblki_ref[pi], p, exact=True)
-        res_ref[pi] = res.reshape(kp1, NUM_GROUPS, C, LANE, LANE)
+        res_ref[pi] = res.reshape(kp1, NG, C, LANE, LANE)
 
     # ---- CRT + u64 recombine + accumulate into acc -------------------------
     for jout in range(kp1):
         elo = ehi = None
-        for g in range(NUM_GROUPS):
-            glo, ghi = crt3_u64(res_ref[0, jout, g], res_ref[1, jout, g],
-                                res_ref[2, jout, g])
+        for g in range(g0, NUM_GROUPS):
+            glo, ghi = crt3_u64(res_ref[0, jout, g - g0],
+                                res_ref[1, jout, g - g0],
+                                res_ref[2, jout, g - g0])
             glo, ghi = _shl64(glo, ghi, 24 * g)
             if elo is None:
                 elo, ehi = glo, ghi
@@ -310,11 +316,13 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_poly", "base_log", "b_tile",
-                                              "interpret", "rounded"))
+                                              "interpret", "rounded",
+                                              "approx"))
 def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
                        amounts: jnp.ndarray, khat: jnp.ndarray, consts: dict,
                        *, n_poly: int, base_log: int, b_tile: int = 128,
-                       interpret: bool = False, rounded: bool = False):
+                       interpret: bool = False, rounded: bool = False,
+                       approx: bool = False):
     """Run the whole blind rotation in one kernel.
 
     acc_*: u32 [B, kp1, N] initial accumulator (body = rotated test poly);
@@ -323,7 +331,10 @@ def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
     consts: from pack_fused_consts(n_poly).
 
     Returns (lo, hi) u32 [B, kp1, N]: the final accumulator, bit-identical
-    to numpy_ref.blind_rotate.
+    to numpy_ref.blind_rotate(rounded=rounded, min_shift=3 if approx else 0).
+    approx=True drops external-product limb planes below 256^3 — a budgeted
+    low-order noise term (the analog of tfhe-rs's f64 FFT error) that removes
+    one of the three inverse transforms and a third of the pointwise work.
     """
     B, kp1, n = acc_lo.shape
     n_steps = amounts.shape[1]
@@ -344,11 +355,13 @@ def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
     C = bt * n // (LANE * LANE)
     grid = (B // bt, n_steps)
 
+    g0 = 1 if approx else 0
+    NG = NUM_GROUPS - g0
     kshape = khat.shape
     lo, hi = pl.pallas_call(
         functools.partial(_fused_kernel, n=n, bt=bt, num_la=num_la,
                           num_r=num_r, kp1=kp1, n_steps=n_steps,
-                          base_log=base_log, rounded=rounded),
+                          base_log=base_log, rounded=rounded, g0=g0),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, kp1, n), lambda b, j: (b, 0, 0),
@@ -382,8 +395,8 @@ def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
             pltpu.VMEM((bt, kp1, n), jnp.uint32),                  # acc lo
             pltpu.VMEM((bt, kp1, n), jnp.uint32),                  # acc hi
             pltpu.VMEM((num_la, num_r, C, LANE, LANE), jnp.int32),  # dhat
-            pltpu.VMEM((kp1 * NUM_GROUPS * C, LANE, LANE), jnp.int32),
-            pltpu.VMEM((3, kp1, NUM_GROUPS, C, LANE, LANE), jnp.int32),
+            pltpu.VMEM((kp1 * NG * C, LANE, LANE), jnp.int32),
+            pltpu.VMEM((3, kp1, NG, C, LANE, LANE), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

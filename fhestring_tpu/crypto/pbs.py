@@ -469,7 +469,8 @@ def _fused_consts_cached(n: int, num_la: int):
 
 def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
                  use_pallas: bool = False, use_ntt: bool = False,
-                 use_ntt2: bool = False, use_fused: bool = False) -> U64:
+                 use_ntt2: bool = False, use_fused: bool = False,
+                 rounded: bool = False, approx: bool = False) -> U64:
     """acc: U64 [B, k+1, N]; lwe_2n: int32 [B, n+1]. Sequential over the n
     LWE coefficients (the inherently serial axis); throughput comes from B."""
     p = keys.params
@@ -506,7 +507,8 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
         consts = _fused_consts_cached(N, num_la)
         lo, hi = blind_rotate_fused(alo, ahi, amounts, keys.bsk_ntt2, consts,
                                     n_poly=N, base_log=p.pbs_base_log,
-                                    interpret=interpret)
+                                    interpret=interpret, rounded=rounded,
+                                    approx=approx)
         return U64(lo[:B], hi[:B])
 
     def step_pallas(j, acc):
@@ -623,11 +625,13 @@ def sample_extract(acc: U64, p: CryptoParams) -> U64:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("use_pallas", "use_ntt",
-                                              "use_ntt2", "use_fused"))
+                                              "use_ntt2", "use_fused",
+                                              "rounded", "approx"))
 def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
               keys: DeviceServerKeys, use_pallas: bool = False,
               use_ntt: bool = False, use_ntt2: bool = False,
-              use_fused: bool = False) -> U64:
+              use_fused: bool = False, rounded: bool = False,
+              approx: bool = False) -> U64:
     """Apply per-item LUTs to a batch of big-key LWE ciphertexts.
 
     ct: U64 [B, kN+1]; lut_idx: int32 [B] into lut_bank U64 [L, 2N].
@@ -660,5 +664,5 @@ def pbs_batch(ct: U64, lut_idx: jnp.ndarray, lut_bank: U64,
     lwe_nob = jnp.concatenate([lwe_2n[:, :-1], jnp.zeros((B, 1), jnp.int32)], axis=1)
     acc = blind_rotate(acc, lwe_nob, keys, use_pallas=use_pallas,
                        use_ntt=use_ntt, use_ntt2=use_ntt2,
-                       use_fused=use_fused)
+                       use_fused=use_fused, rounded=rounded, approx=approx)
     return sample_extract(acc, p)

@@ -286,6 +286,95 @@ def cmux_rounded(bsk_j: np.ndarray, acc: np.ndarray, aj: int,
     return out
 
 
+def _balanced_limbs_i64(v: np.ndarray, num_limbs: int) -> np.ndarray:
+    """Signed ints -> balanced base-256 limb planes [num_limbs, ...] (int64),
+    v == sum_i limbs[i] * 256**i exactly (same scheme as pbs.balanced_limbs_i32
+    and keys.balanced_limbs_u64)."""
+    out = np.zeros((num_limbs,) + v.shape, dtype=np.int64)
+    state = v.astype(np.int64).copy()
+    for i in range(num_limbs):
+        l = ((state + 128) & 255) - 128
+        out[i] = l
+        state = (state - l) >> 8
+    return out
+
+
+def polymul_planes(d: np.ndarray, poly: np.ndarray, num_la: int,
+                   min_shift: int = 0) -> np.ndarray:
+    """Negacyclic d (x) poly mod 2**64 evaluated over balanced base-256 limb
+    planes, TRUNCATING output planes whose base-256 shift is below
+    ``min_shift``.
+
+    This is the oracle for the fused TPU kernel's ``approx`` mode: the kernel
+    computes sum_{la+lb in [min_shift, 8)} 256^(la+lb) conv(d_la, k_lb); the
+    dropped low planes (la+lb < min_shift) carry magnitude <= ~2^(8*min_shift
+    + 26) — pure low-order noise, budgeted like tfhe-rs's f64 FFT error.
+    min_shift=0 is bit-identical to polymul(d mod 2**64, poly)."""
+    n = poly.shape[-1]
+    dl = _balanced_limbs_i64(d, num_la)                       # [La, N]
+    # key limbs: balanced limbs of u64 with the final carry dropped (mod 2^64
+    # exact), as in keys.balanced_limbs_u64
+    state = poly.astype(U64).copy()
+    kl = np.zeros((8, n), dtype=np.int64)
+    for i in range(8):
+        dd = (state & U64(0xFF)).astype(np.int64)
+        state >>= U64(8)
+        carry = (dd >= 128).astype(np.int64)
+        kl[i] = dd - carry * 256
+        state += carry.astype(U64)
+    # negacyclic integer conv per plane pair (exact in int64: |.| <= N*2^14)
+    idx = (np.arange(n)[None, :] - np.arange(n)[:, None]) % (2 * n)
+    out = np.zeros(n, dtype=U64)
+    for lb in range(8):
+        doubled = np.concatenate([kl[lb], -kl[lb]])
+        mat = doubled[idx]                                    # [N, N] int64
+        for la in range(num_la):
+            s = la + lb
+            if s >= 8 or s < min_shift:
+                continue
+            conv = dl[la] @ mat                               # exact int64
+            out = out + (conv.astype(U64) << U64(8 * s))
+    return out
+
+
+def cmux_fused(bsk_j: np.ndarray, acc: np.ndarray, aj: int, p: CryptoParams,
+               rounded: bool = False, min_shift: int = 0) -> np.ndarray:
+    """CMux evaluated exactly the way the fused TPU kernel evaluates it
+    (ell = 1 only): optional ROUNDED decomposition (see cmux_rounded) and
+    optional plane truncation (see polymul_planes).  With rounded=False,
+    min_shift=0 this is bit-identical to cmux(bsk_j, acc, rot(acc))."""
+    assert p.pbs_level == 1
+    blog = p.pbs_base_log
+    num_la = (blog + 8) // 8
+    out = acc.copy()
+    for r in range(p.glwe_dimension + 1):
+        if rounded:
+            shift = p.q_bits - blog
+            mask = U64((1 << blog) - 1)
+            half = 1 << (blog - 1)
+            acc_r = ((acc[r] >> U64(shift)) + ((acc[r] >> U64(shift - 1))
+                                               & U64(1))) & mask
+            n = acc_r.shape[-1]
+            a = int(aj) % (2 * n)
+            flip = a >= n
+            a %= n
+            rot = np.roll(acc_r, a)
+            if a:
+                rot[:a] = (U64(0) - rot[:a]) & mask
+            if flip:
+                rot = (U64(0) - rot) & mask
+            state = (rot - acc_r) & mask
+            d = state.astype(np.int64) - (state >= half).astype(np.int64) * (1 << blog)
+        else:
+            diff = poly_rotate(acc[r], int(aj)) - acc[r]
+            d = decompose(diff, blog, 1, p.q_bits)[0]
+        row = bsk_j[r]          # ell = 1: [k+1, N]
+        for col in range(p.glwe_dimension + 1):
+            out[col] = out[col] + polymul_planes(d, row[col], num_la,
+                                                 min_shift)
+    return out
+
+
 def modswitch(ct: np.ndarray, p: CryptoParams) -> np.ndarray:
     """Switch LWE coefficients from q to 2N (rounding)."""
     two_n = 2 * p.polynomial_size
@@ -295,16 +384,22 @@ def modswitch(ct: np.ndarray, p: CryptoParams) -> np.ndarray:
 
 
 def blind_rotate(acc: np.ndarray, lwe_2n: np.ndarray, srv: ServerKeys,
-                 rounded: bool = False) -> np.ndarray:
+                 rounded: bool = False, min_shift: int = 0) -> np.ndarray:
     """Rotate acc by -phase(ct) homomorphically; acc: [k+1, N] GLWE.
 
     rounded=True uses the rounded gadget decomposition (see cmux_rounded);
-    plaintext-equivalent, slightly larger decomposition noise."""
+    min_shift>0 truncates low external-product limb planes (see
+    polymul_planes). Both are plaintext-equivalent approximations with
+    slightly larger (budgeted) noise, mirroring the fused TPU kernel's
+    rounded/approx modes."""
     p = srv.params
     a, b = lwe_2n[:-1], int(lwe_2n[-1])
     acc = np.stack([poly_rotate(poly, -b) for poly in acc])
     for j in range(p.lwe_dimension):
-        if rounded:
+        if min_shift:
+            acc = cmux_fused(srv.bsk[j], acc, int(a[j]), p, rounded=rounded,
+                             min_shift=min_shift)
+        elif rounded:
             acc = cmux_rounded(srv.bsk[j], acc, int(a[j]), p)
         else:
             rotated = np.stack([poly_rotate(poly, int(a[j])) for poly in acc])

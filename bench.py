@@ -98,9 +98,14 @@ def main():
     dev = dkeys.pack_server_keys(srv)
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu and not (args.ntt or args.ntt2 or args.matmul):
-        # Default TPU path: the fused whole-blind-rotation NTT kernel
-        # (575 vs 428 PBS/s for the matmul kernel; benchmarks/RESULTS.md).
-        args.fused = True
+        # Default TPU path = the production path (shortint._pbs_padded):
+        # fused whole-blind-rotation NTT kernel with rounded decomposition
+        # and plane-truncated external product (715 vs 597 exact-fused vs
+        # 428 matmul PBS/s at B=1024 prod params; benchmarks/RESULTS.md).
+        if not args.fused:
+            args.fused = True
+            args.rounded = True
+            args.approx = True
     if args.ntt2 or args.fused:
         npath = os.path.join(CACHE_DIR, f"keysntt2_{params.name}_0.npy")
         if os.path.exists(npath):

@@ -56,6 +56,12 @@ def main():
                     help="total bootstraps to sample (>= 10^4 for the "
                          "failure check)")
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--rounded", action="store_true",
+                    help="measure the fused kernel's rounded-decomposition "
+                         "mode (adds decomposition noise)")
+    ap.add_argument("--approx", action="store_true",
+                    help="measure the fused kernel's plane-truncated mode "
+                         "(adds low-order truncation noise)")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +82,9 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     print(f"# params={params.name} device={jax.devices()[0]}",
           file=sys.stderr)
+    if (args.rounded or args.approx) and not on_tpu:
+        print("# WARNING: --rounded/--approx only affect the fused kernel "
+              "(TPU); the CPU einsum path is exact", file=sys.stderr)
 
     if args.params == "prod":
         import bench
@@ -97,7 +106,8 @@ def main():
         cts = np.stack([ref.shortint_encrypt(sk, int(m), rng) for m in msgs])
         out = dpbs.pbs_batch(torus.from_numpy(cts), np.zeros(B, np.int32),
                              bank, dev, use_fused=on_tpu,
-                             use_pallas=False)
+                             use_pallas=False, rounded=args.rounded,
+                             approx=args.approx)
         host = torus.to_numpy(out)
         exp = np.array([table[m] for m in msgs])
         errs = phase_errors(sk, host, exp, params)
@@ -125,6 +135,8 @@ def main():
 
     print(json.dumps({
         "params": params.name,
+        "mode": ("rounded+" if args.rounded else "")
+                + ("approx" if args.approx else "exact"),
         "samples": total,
         "decode_failures": failures,
         "sigma_fresh_rel": math.sqrt(var_fresh),

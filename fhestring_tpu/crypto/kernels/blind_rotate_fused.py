@@ -130,7 +130,8 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
                   w1f_ref, w1i_ref, wblki_ref, lo_ref, hi_ref,
                   acclo_s, acchi_s, dhat_ref, work_ref, res_ref, *,
                   n: int, bt: int, num_la: int, num_r: int, kp1: int,
-                  n_steps: int, base_log: int, rounded: bool, g0: int):
+                  n_steps: int, base_log: int, rounded: bool, g0: int,
+                  ablate: str = ""):
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     C = bt * n // (LANE * LANE)
@@ -149,7 +150,13 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
     assert shift >= 33
     sh = shift - 32
 
-    if rounded:
+    if "shear" in ablate:
+        # ablation: skip rotation/decomposition, digits = raw top plane
+        d = (hi >> jnp.uint32(sh)).astype(jnp.int32) & jnp.int32(
+            (1 << base_log) - 1)
+        d = d - ((d >= (1 << (base_log - 1))).astype(jnp.int32)
+                 << base_log)
+    elif rounded:
         # ---- ROUNDED decomposition (numpy_ref.cmux_rounded semantics) ----
         # Shear only the B-bit pre-rounded plane: one int32 plane instead of
         # the u64 accumulator; decomposition error grows <= ~5x in std-dev,
@@ -228,73 +235,93 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
     for pi, p in enumerate(PRIMES3):
         # ---- forward ------------------------------------------------------
         db = 0
-        for la in range(num_la):
-            s_raw = (_dot8(A_las[la], wblkf_ref[pi, la, 0]).astype(jnp.int32)
-                     + (_dot8(A_las[la], wblkf_ref[pi, la, 1]) << 8))
-            sv, sb = _modc_f(s_raw, (1 << 21) + (1 << 29), p)
-            sv = sv.reshape(num_r * C, LANE, LANE)  # rows j1, lanes (k2,b8)
-            st = jnp.swapaxes(sv, 1, 2)             # rows (k2,b8), lanes j1
-            z0, z1 = _split2(st)
+        if "fwd" in ablate:
+            db = 128
+            for la in range(num_la):
+                dhat_ref[la] = A_las[la].astype(jnp.int32).reshape(
+                    num_r, C, LANE, LANE)
+        else:
+            for la in range(num_la):
+                s_raw = (_dot8(A_las[la], wblkf_ref[pi, la, 0]).astype(jnp.int32)
+                         + (_dot8(A_las[la], wblkf_ref[pi, la, 1]) << 8))
+                sv, sb = _modc_f(s_raw, (1 << 21) + (1 << 29), p)
+                sv = sv.reshape(num_r * C, LANE, LANE)  # rows j1, lanes (k2,b8)
+                st = jnp.swapaxes(sv, 1, 2)             # rows (k2,b8), lanes j1
+                z0, z1 = _split2(st)
+                for kk in range(n2):
+                    rows = slice(kk * nb, (kk + 1) * nb)
+                    a0 = z0[:, rows, :].reshape(num_r * C * nb, LANE)
+                    a1 = z1[:, rows, :].reshape(num_r * C * nb, LANE)
+                    wl = w1f_ref[pi, kk]
+                    t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
+                                    + (_dot8(a1, wl[1]) << 8),
+                                    (1 << 22) + (1 << 29), p)
+                    dv, db = _modc_f(_dot8(a0, wl[0]) + (t << 8),
+                                     (1 << 21) + (tb << 8), p)
+                    dhat_ref[la, :, :, rows, :] = dv.reshape(
+                        num_r, C, nb, LANE)
+
+        # ---- pointwise + group scale ---------------------------------------
+        if "pw" in ablate:
+            uall = jnp.broadcast_to(
+                dhat_ref[0, 0][None],
+                (kp1 * NG, C, LANE, LANE)).astype(jnp.int32) & 0x7FFF
+            uhats = None
+        else:
+            uhats = []
+            pb = db * ((p - 1) // 2)
+            for jout in range(kp1):
+                for g in range(g0, NUM_GROUPS):
+                    acc = _Acc(p)
+                    for (la, lb) in pairs[g]:
+                        for i in range(num_r):
+                            kh = khat_ref[0, pi, i, jout, lb].astype(jnp.int32)
+                            kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
+                            kt = kt.reshape(LANE, LANE)    # rows (k2, b8)
+                            acc.add(dhat_ref[la, i] * kt[None], pb)
+                    u, ub = acc.fast()
+                    if g:
+                        sc = _center(
+                            np.array(pow(pow(256, 3 * g, p), p - 2, p)), p)
+                        u, ub = _modc_f(u * np.int32(sc),
+                                        ub * ((p - 1) // 2), p)
+                    uhats.append(u)                    # [C, (k2,b8), k1]
+            uall = jnp.stack(uhats)                    # [kp1*NG, C, .., ..]
+
+        # ---- inverse --------------------------------------------------------
+        if "inv" in ablate:
+            res_ref[pi] = uall.reshape(kp1, NG, C, LANE, LANE)
+        else:
+            u0, u1 = _split2(uall)
             for kk in range(n2):
                 rows = slice(kk * nb, (kk + 1) * nb)
-                a0 = z0[:, rows, :].reshape(num_r * C * nb, LANE)
-                a1 = z1[:, rows, :].reshape(num_r * C * nb, LANE)
-                wl = w1f_ref[pi, kk]
+                a0 = u0[:, :, rows, :].reshape(kp1 * NG * C * nb, LANE)
+                a1 = u1[:, :, rows, :].reshape(kp1 * NG * C * nb, LANE)
+                wl = w1i_ref[pi, kk]
                 t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
                                 + (_dot8(a1, wl[1]) << 8),
                                 (1 << 22) + (1 << 29), p)
-                dv, db = _modc_f(_dot8(a0, wl[0]) + (t << 8),
+                qv, qb = _modc_f(_dot8(a0, wl[0]) + (t << 8),
                                  (1 << 21) + (tb << 8), p)
-                dhat_ref[la, :, :, rows, :] = dv.reshape(
-                    num_r, C, nb, LANE)
-
-        # ---- pointwise + group scale ---------------------------------------
-        uhats = []
-        pb = db * ((p - 1) // 2)
-        for jout in range(kp1):
-            for g in range(g0, NUM_GROUPS):
-                acc = _Acc(p)
-                for (la, lb) in pairs[g]:
-                    for i in range(num_r):
-                        kh = khat_ref[0, pi, i, jout, lb].astype(jnp.int32)
-                        kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
-                        kt = kt.reshape(LANE, LANE)    # rows (k2, b8)
-                        acc.add(dhat_ref[la, i] * kt[None], pb)
-                u, ub = acc.fast()
-                if g:
-                    sc = _center(
-                        np.array(pow(pow(256, 3 * g, p), p - 2, p)), p)
-                    u, ub = _modc_f(u * np.int32(sc), ub * ((p - 1) // 2), p)
-                uhats.append(u)                        # [C, (k2,b8), k1]
-        uall = jnp.stack(uhats)                        # [kp1*NG, C, .., ..]
-
-        # ---- inverse --------------------------------------------------------
-        u0, u1 = _split2(uall)
-        for kk in range(n2):
-            rows = slice(kk * nb, (kk + 1) * nb)
-            a0 = u0[:, :, rows, :].reshape(kp1 * NG * C * nb, LANE)
-            a1 = u1[:, :, rows, :].reshape(kp1 * NG * C * nb, LANE)
-            wl = w1i_ref[pi, kk]
-            t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
-                            + (_dot8(a1, wl[1]) << 8),
-                            (1 << 22) + (1 << 29), p)
-            qv, qb = _modc_f(_dot8(a0, wl[0]) + (t << 8),
-                             (1 << 21) + (tb << 8), p)
-            work_ref[:, rows, :] = qv.reshape(
-                kp1 * NG * C, nb, LANE)
-        qt = jnp.swapaxes(work_ref[...], 1, 2)         # rows j1, lanes (k2,b8)
-        res, _ = _stage_dots(
-            qt.reshape(kp1 * NG * C * LANE, LANE),
-            wblki_ref[pi], p, exact=True)
-        res_ref[pi] = res.reshape(kp1, NG, C, LANE, LANE)
+                work_ref[:, rows, :] = qv.reshape(
+                    kp1 * NG * C, nb, LANE)
+            qt = jnp.swapaxes(work_ref[...], 1, 2)     # rows j1, lanes (k2,b8)
+            res, _ = _stage_dots(
+                qt.reshape(kp1 * NG * C * LANE, LANE),
+                wblki_ref[pi], p, exact=True)
+            res_ref[pi] = res.reshape(kp1, NG, C, LANE, LANE)
 
     # ---- CRT + u64 recombine + accumulate into acc -------------------------
     for jout in range(kp1):
         elo = ehi = None
         for g in range(g0, NUM_GROUPS):
-            glo, ghi = crt3_u64(res_ref[0, jout, g - g0],
-                                res_ref[1, jout, g - g0],
-                                res_ref[2, jout, g - g0])
+            if "crt" in ablate:
+                glo = res_ref[0, jout, g - g0].astype(jnp.uint32)
+                ghi = res_ref[1, jout, g - g0].astype(jnp.uint32)
+            else:
+                glo, ghi = crt3_u64(res_ref[0, jout, g - g0],
+                                    res_ref[1, jout, g - g0],
+                                    res_ref[2, jout, g - g0])
             glo, ghi = _shl64(glo, ghi, 24 * g)
             if elo is None:
                 elo, ehi = glo, ghi
@@ -317,12 +344,12 @@ def _fused_kernel(acc0lo_ref, acc0hi_ref, amt_ref, khat_ref, wblkf_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_poly", "base_log", "b_tile",
                                               "interpret", "rounded",
-                                              "approx"))
+                                              "approx", "ablate"))
 def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
                        amounts: jnp.ndarray, khat: jnp.ndarray, consts: dict,
                        *, n_poly: int, base_log: int, b_tile: int = 128,
                        interpret: bool = False, rounded: bool = False,
-                       approx: bool = False):
+                       approx: bool = False, ablate: str = ""):
     """Run the whole blind rotation in one kernel.
 
     acc_*: u32 [B, kp1, N] initial accumulator (body = rotated test poly);
@@ -361,7 +388,8 @@ def blind_rotate_fused(acc_lo: jnp.ndarray, acc_hi: jnp.ndarray,
     lo, hi = pl.pallas_call(
         functools.partial(_fused_kernel, n=n, bt=bt, num_la=num_la,
                           num_r=num_r, kp1=kp1, n_steps=n_steps,
-                          base_log=base_log, rounded=rounded, g0=g0),
+                          base_log=base_log, rounded=rounded, g0=g0,
+                          ablate=ablate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, kp1, n), lambda b, j: (b, 0, 0),

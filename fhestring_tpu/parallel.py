@@ -53,7 +53,7 @@ def replicate(mesh: Mesh, tree):
 
 
 def pbs_batch_sharded(ct, lut_idx, lut_bank, keys, mesh: Mesh,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, **pbs_kwargs):
     """Batched PBS with the batch axis sharded over the mesh.
 
     Explicit shard_map (not GSPMD auto-sharding): each chip runs the full
@@ -78,7 +78,7 @@ def pbs_batch_sharded(ct, lut_idx, lut_bank, keys, mesh: Mesh,
     spec_r = P()
 
     fn = shard_map(
-        partial(pbs_batch, use_pallas=use_pallas),
+        partial(pbs_batch, use_pallas=use_pallas, **pbs_kwargs),
         mesh=mesh,
         in_specs=(
             jax.tree.map(lambda _: spec_b, ct),

@@ -179,15 +179,18 @@ class ShortintContext:
                        jnp.concatenate([flat.hi, zlo]))
             idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
         # On TPU, take the fused whole-blind-rotation NTT kernel when the
-        # NTT2-domain key is packed (measured 575 vs 428 PBS/s for the
-        # Hankel-matmul kernel at B=1024, prod params, v5e — benchmarks/
-        # RESULTS.md), else the matmul kernel; on CPU keep the einsum path
-        # (native XLA, no interpret overhead).
+        # NTT2-domain key is packed, in its rounded + plane-truncated mode
+        # (715 vs 597 exact-fused vs 428 Hankel-matmul PBS/s at B=1024, prod
+        # params, v5e - benchmarks/RESULTS.md; both modes are plaintext-
+        # equivalent budgeted-noise approximations, calibrated on-device by
+        # benchmarks/noise_calibration.py), else the matmul kernel; on CPU
+        # keep the einsum path (native XLA, no interpret overhead).
         on_tpu = jax.default_backend() != "cpu"
         use_fused = on_tpu and self.keys.bsk_ntt2 is not None
         out = pbs_batch(flat, idx, bank, self.keys,
                         use_pallas=on_tpu and not use_fused,
-                        use_fused=use_fused)
+                        use_fused=use_fused, rounded=use_fused,
+                        approx=use_fused)
         if padded != n:
             out = U64(out.lo[:n], out.hi[:n])
         return out

@@ -9,6 +9,7 @@ import pytest
 
 from fhestring_tpu import PARAM_TEST_ZERO_NOISE
 from fhestring_tpu.client import ClientKey
+from fhestring_tpu.params import PARAM_TEST_STAT
 
 
 @pytest.fixture(scope="module")
@@ -110,6 +111,31 @@ class TestNBCollision:
         parts, found = ck.decrypt_split(srv.split_clear(s, "."))
         assert [p for p in parts if p] == ["a", "b"]
         assert found == 1
+
+
+class TestRealisticNoise:
+    """String methods under statistically meaningful noise (PARAM_TEST_STAT:
+    prod-relative LWE noise) — everything above ran at zero noise. Covers
+    one method per PBS-shape family: predicate (eq), search grid (contains),
+    case map (to_upper), compaction (trim)."""
+
+    @pytest.fixture(scope="class")
+    def nctx(self):
+        ck = ClientKey(PARAM_TEST_STAT, seed=5)
+        return ck, ck.get_server_key()
+
+    def test_noisy_eq_contains(self, nctx):
+        ck, srv = nctx
+        a = ck.encrypt("noise!", 1)
+        b = ck.encrypt("noise!", 3)
+        assert ck.decrypt_char(srv.eq(a, b)) == 1
+        assert ck.decrypt_char(srv.contains_clear(a, "ise")) == 1
+        assert ck.decrypt_char(srv.contains_clear(a, "zzz")) == 0
+
+    def test_noisy_to_upper_trim(self, nctx):
+        ck, srv = nctx
+        assert ck.decrypt(srv.to_upper(ck.encrypt("aB c", 1))) == "AB C"
+        assert ck.decrypt(srv.trim(ck.encrypt(" hi ", 1))) == "hi"
 
 
 class TestPublicKey:

@@ -99,6 +99,33 @@ def test_fused_blind_rotation_on_chip(keyed):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused_rounded_approx_on_chip(keyed):
+    """The production fast mode (rounded decomposition + plane truncation)
+    non-interpreted on the chip, bit-exact vs its numpy oracle."""
+    sk, srv, dev = keyed
+    B, N, kp1 = 64, P.polynomial_size, P.glwe_dimension + 1
+    rng = np.random.default_rng(29)
+    acc0 = rng.integers(0, 1 << 64, size=(B, kp1, N), dtype=np.uint64)
+    lwe = np.zeros((B, P.lwe_dimension + 1), np.int32)
+    lwe[:, :-1] = rng.integers(0, 2 * N, size=(B, P.lwe_dimension))
+
+    want = np.stack([
+        ref.blind_rotate(acc0[i], lwe[i].astype(np.int64), srv,
+                         rounded=True, min_shift=3)
+        for i in range(B)])
+
+    consts = pack_fused_consts(N)
+    amounts = jnp.asarray(lwe[:, :P.lwe_dimension])
+    acc = torus.from_numpy(acc0)
+    lo, hi = blind_rotate_fused(acc.lo, acc.hi, amounts, dev.bsk_ntt2,
+                                consts, n_poly=N, base_log=P.pbs_base_log,
+                                b_tile=64, interpret=False, rounded=True,
+                                approx=True)
+    got = np.asarray(lo).astype(np.uint64) | (
+        np.asarray(hi).astype(np.uint64) << np.uint64(32))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_full_pbs_on_chip(keyed):
     """End-to-end pbs_batch on the chip (fused path): decrypts to table[m]."""
     sk, srv, dev = keyed

@@ -29,7 +29,8 @@ class CryptoParams:
     """
 
     name: str
-    # Torus modulus q = 2**q_bits. 64 mirrors tfhe-rs; 32 is the TPU turbo mode.
+    # Arithmetic modulus q = 2**q_bits. Always 64: torus arithmetic is
+    # carried on uint32 limb pairs wrapping mod 2**64 (torus.py).
     q_bits: int
     # Small LWE dimension (blind-rotation loop length).
     lwe_dimension: int
@@ -51,6 +52,16 @@ class CryptoParams:
     carry_modulus: int = 4
     # Radix: number of shortint blocks per 8-bit character.
     num_blocks: int = 4
+    # Effective torus precision: ciphertext values are multiples of
+    # 2**(64 - torus_bits), i.e. they live in the subgroup
+    # 2**(64-torus_bits) * Z / 2**64 Z  ~  Z / 2**torus_bits Z.
+    # torus_bits=64 is the tfhe-rs-mirroring default; torus_bits=32 is the
+    # TPU turbo mode: all mod-2**64 arithmetic is inherited unchanged (the
+    # subgroup is closed under +, -, and integer scaling), but key material
+    # halves and the low 4 of 8 balanced byte-limb planes of every key
+    # polynomial are exactly zero, which the kernels exploit.  Only noise
+    # and uniform-mask sampling change (quantized to the subgroup).
+    torus_bits: int = 64
 
     # ---- derived quantities -------------------------------------------------
     @property
@@ -86,8 +97,15 @@ class CryptoParams:
         assert self.polynomial_size >= self.full_space, (
             "test polynomial needs at least one coefficient per plaintext slot"
         )
-        assert self.pbs_base_log * self.pbs_level <= self.q_bits
-        assert self.ks_base_log * self.ks_level <= self.q_bits
+        assert self.q_bits == 64, "torus arithmetic is mod 2**64 (torus.py)"
+        assert self.torus_bits in (32, 64)
+        # Gadget ladders must stay inside the torus precision: digits are
+        # taken from the top torus_bits bits, so deeper ladders would read
+        # quantization zeros.
+        assert self.pbs_base_log * self.pbs_level <= self.torus_bits
+        assert self.ks_base_log * self.ks_level <= self.torus_bits
+        # delta (and every encode()d constant) must lie in the subgroup.
+        assert self.delta % (1 << (64 - self.torus_bits)) == 0
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,14 @@ from .torus import U64
 # parameters are dimensioned for the 4x+y pack (16 + 1 = 17 units).  We allow
 # headroom up to 2x the designed pack (to admit 4x+y with var-2 operands from
 # linear select outputs) and refresh lazily beyond it.
-# TODO(round2): calibrate against measured PBS output noise on prod params.
+#
+# Calibrated (benchmarks/noise_calibration.py, PARAM_TEST_STAT at prod-
+# relative LWE noise, 4096 bootstraps): the worst designed pack measures
+# 17.36 fresh-PBS units vs the theoretical 17 — the unit bookkeeping below
+# matches measurement within 2%.  The measured decode margin at var 17 is
+# 13.5 sigma; a 2^-40 failure target needs 7.04 sigma, so the safe budget is
+# 17 * (13.5 / 7.04)^2 = 62.5 units.  MAX_NOISE_VAR = 34 (2x the designed
+# pack) keeps >= 9.5 sigma of measured margin.
 MAX_NOISE_VAR = 34.0
 MAX_DEGREE = 15
 

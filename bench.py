@@ -56,7 +56,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--params", default="prod", choices=["prod", "test", "noisy"])
+    ap.add_argument("--params", default="turbo",
+                    choices=["turbo", "prod", "test", "noisy"],
+                    help="turbo = 32-bit-torus production set (the default "
+                         "headline path); prod = the 64-bit tfhe-rs mirror")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one iteration")
     ap.add_argument("--ntt", action="store_true",
@@ -90,36 +93,45 @@ def main():
     from fhestring_tpu.crypto import pbs as dpbs
     from fhestring_tpu.numpy_ref import core as ref
 
-    params = {"prod": P.PARAM_PROD, "test": P.PARAM_TEST_ZERO_NOISE,
+    params = {"turbo": P.PARAM_TURBO, "prod": P.PARAM_PROD,
+              "test": P.PARAM_TEST_ZERO_NOISE,
               "noisy": P.PARAM_TEST_NOISY}[args.params]
     print(f"# params={params.name} devices={jax.devices()}", file=sys.stderr)
 
     sk, srv = get_keys(params)
     dev = dkeys.pack_server_keys(srv)
+    turbo = params.torus_bits == 32
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu and not (args.ntt or args.ntt2 or args.matmul):
         # Default TPU path = the production path (shortint._pbs_padded):
-        # fused whole-blind-rotation NTT kernel with rounded decomposition
-        # and plane-truncated external product (715 vs 597 exact-fused vs
-        # 428 matmul PBS/s at B=1024 prod params; benchmarks/RESULTS.md).
+        # the fused whole-blind-rotation NTT kernel. 32-bit torus: EXACT
+        # fused32 kernel. 64-bit torus: rounded decomposition + plane-
+        # truncated external product (715 vs 597 exact-fused vs 428 matmul
+        # PBS/s at B=1024 prod params; benchmarks/RESULTS.md).
         if not args.fused:
             args.fused = True
-            args.rounded = True
-            args.approx = True
+            if not turbo:
+                args.rounded = True
+                args.approx = True
     if args.ntt2 or args.fused:
-        npath = os.path.join(CACHE_DIR, f"keysntt2_{params.name}_0.npy")
+        import jax.numpy as jnp
+        suffix = "32" if turbo else "2"
+        npath = os.path.join(CACHE_DIR, f"keysntt{suffix}_{params.name}_0.npy")
         if os.path.exists(npath):
-            bsk_ntt2 = np.load(npath)
+            bsk_ntt = np.load(npath)
         else:
             t0 = time.time()
-            bsk_ntt2 = dkeys.pack_bsk_ntt2(np.asarray(dev.bsk_limbs))
-            print(f"# NTT2 key packing took {time.time() - t0:.1f}s",
+            if turbo:
+                bsk_ntt = dkeys.pack_bsk_ntt32(srv.bsk)
+            else:
+                bsk_ntt = dkeys.pack_bsk_ntt2(np.asarray(dev.bsk_limbs))
+            print(f"# NTT{suffix} key packing took {time.time() - t0:.1f}s",
                   file=sys.stderr)
-            np.save(npath, bsk_ntt2)
-        import jax.numpy as jnp
-        dev = dkeys.DeviceServerKeys(dev.params, dev.bsk_limbs,
-                                     dev.ksk_limbs, None,
-                                     jnp.asarray(bsk_ntt2))
+            np.save(npath, bsk_ntt)
+        dev = dkeys.DeviceServerKeys(
+            dev.params, dev.bsk_limbs, dev.ksk_limbs, None,
+            None if turbo else jnp.asarray(bsk_ntt),
+            jnp.asarray(bsk_ntt) if turbo else None)
     if args.ntt:
         # cache the (expensive) NTT-domain key packing
         npath = os.path.join(CACHE_DIR, f"keysntt_{params.name}_0.npy")

@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--frm", default="o")
     ap.add_argument("--to", default="0")
     ap.add_argument("--params", default="test",
-                    choices=["test", "noisy", "prod"])
+                    choices=["test", "test32", "noisy", "prod", "turbo"])
     ap.add_argument("--methods", nargs="*", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

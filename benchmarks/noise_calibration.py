@@ -51,7 +51,7 @@ def phase_errors(sk, cts: np.ndarray, expected: np.ndarray, p) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="prod",
-                    choices=["prod", "noisy", "stat"])
+                    choices=["prod", "turbo", "noisy", "stat", "stat32"])
     ap.add_argument("--n", type=int, default=16384,
                     help="total bootstraps to sample (>= 10^4 for the "
                          "failure check)")
@@ -76,9 +76,10 @@ def main():
     from fhestring_tpu.crypto import pbs as dpbs
     from fhestring_tpu.numpy_ref import core as ref
 
-    params = {"prod": P.PARAM_PROD, "noisy": P.PARAM_TEST_NOISY,
-              "stat": getattr(P, "PARAM_TEST_STAT", P.PARAM_TEST_NOISY)}[
-        args.params]
+    params = {"prod": P.PARAM_PROD, "turbo": P.PARAM_TURBO,
+              "noisy": P.PARAM_TEST_NOISY,
+              "stat": getattr(P, "PARAM_TEST_STAT", P.PARAM_TEST_NOISY),
+              "stat32": P.PARAM_TEST32_STAT}[args.params]
     on_tpu = jax.default_backend() != "cpu"
     print(f"# params={params.name} device={jax.devices()[0]}",
           file=sys.stderr)
@@ -86,7 +87,7 @@ def main():
         print("# WARNING: --rounded/--approx only affect the fused kernel "
               "(TPU); the CPU einsum path is exact", file=sys.stderr)
 
-    if args.params == "prod":
+    if args.params in ("prod", "turbo"):
         import bench
         sk, srv = bench.get_keys(params)
     else:

@@ -16,7 +16,8 @@ import argparse
 import time
 
 from .client import ClientKey
-from .params import PARAM_PROD, PARAM_TEST_NOISY, PARAM_TEST_ZERO_NOISE
+from .params import (PARAM_PROD, PARAM_TEST32_ZERO_NOISE, PARAM_TEST_NOISY,
+                     PARAM_TEST_ZERO_NOISE, PARAM_TURBO)
 
 STRING_PADDING = 1  # reference src/main.rs:12
 
@@ -255,8 +256,10 @@ def run_fhe_str_method(server, client, args, method: str) -> bool:
 
 PARAM_SETS = {
     "test": PARAM_TEST_ZERO_NOISE,
+    "test32": PARAM_TEST32_ZERO_NOISE,
     "noisy": PARAM_TEST_NOISY,
     "prod": PARAM_PROD,
+    "turbo": PARAM_TURBO,
 }
 
 

@@ -56,23 +56,43 @@ class ClientKey:
                     seed: int | None = 0) -> "ClientKey":
         return cls(params, seed)
 
-    def get_server_key(self, with_ntt2: bool | None = None):
+    def get_server_key(self, with_ntt2: bool | None = None,
+                       cache_path: str | None = None):
         """Pack the evaluation keys for the device.
 
         with_ntt2: also pack the NTT-domain bootstrap key that enables the
         fused blind-rotation kernel (the fastest measured TPU path). Default:
         auto — on for TPU backends, off for CPU (where the fused kernel only
         runs interpreted and the packing cost buys nothing).
+
+        cache_path: optional packed-key checkpoint (.npz). If it exists, the
+        device-format keys are LOADED instead of re-packed — NTT-domain
+        packing is minutes of host transforms at production parameters, and
+        without a cache every server process start pays it again. On a miss
+        the packed keys are saved there after packing.
         """
+        import os
+
         import jax
 
         from .server import ServerKey
 
         if with_ntt2 is None:
             with_ntt2 = jax.default_backend() != "cpu"
-        return ServerKey(
+        if cache_path and os.path.exists(cache_path):
+            from . import serialize
+
+            srv = serialize.load_packed_server_key(cache_path)
+            assert srv.params == self.params, (srv.params, self.params)
+            return srv
+        srv = ServerKey(
             pack_server_keys(self._server_raw, with_ntt2=with_ntt2),
             self.params)
+        if cache_path:
+            from . import serialize
+
+            serialize.save_packed_server_key(cache_path, srv)
+        return srv
 
     def get_public_parameters(self) -> PublicParameters:
         return self.public_parameters
@@ -117,7 +137,7 @@ class ClientKey:
                 val = (byte >> (2 * b)) & 3
                 out[i, b] = ref.lwe_encrypt_raw(
                     self.secret.big_lwe_sk, ref.encode(val, p), p.glwe_noise_std,
-                    self._rng)
+                    self._rng, p.torus_bits)
         return Blocks(torus.from_numpy(out), 3, 1.0)
 
     @staticmethod

@@ -1,0 +1,374 @@
+"""Pallas TPU kernel: fused blind rotation for the 32-bit torus (turbo mode).
+
+The 64-bit fused kernel (blind_rotate_fused.py) carries a u64 accumulator on
+two uint32 planes, 3-limb digits, 8 key limb planes and a 3-prime grouped
+CRT.  On the reduced-precision torus (params.torus_bits=32, e.g.
+PARAM_MESSAGE_2_CARRY_2_KS_PBS_32: gadget base 2^8, 3 levels) every torus
+value is a multiple of 2^32, and the same blind rotation collapses:
+
+- the accumulator is ONE uint32 plane (the u64 hi limb; lo == 0 invariant),
+  so the per-step negacyclic shear rotation is EXACT at the cost the 64-bit
+  kernel pays for its *approximate* "rounded" mode;
+- gadget digits satisfy |d| <= 128: a digit IS its single balanced int8
+  limb — the digit-limb split disappears (num_la == 1);
+- keys quantized to the subgroup have exactly 4 nonzero byte-limb planes,
+  so the external product has 4 output shift planes s = lb in {0..3}
+  (256^4 == 0 mod 2^32) instead of 21 live (la, lb) pairs;
+- each plane's exact integer value is bounded by R*N*128^2 ~ 2*10^8
+  < M/2 (M = 40961 * 61441 ~ 2.5*10^9), so TWO 16-bit NTT primes
+  reconstruct it exactly in int32 — no 256-weighted plane grouping, no
+  3-prime CRT, and no u64 limb emulation anywhere: the final recombination
+  is sum_s W_s << 8s in plain uint32 arithmetic.
+
+The NTT itself is the proven twiddle-folded four-step negacyclic transform
+of blind_rotate_fused.py / ntt_ext.py (same stage matrices, same
+approximate-Barrett reduction with static bound tracking), restricted to
+two primes and a single digit limb.
+
+Exactness contract: bit-identical to numpy_ref.blind_rotate (exact path,
+ell = 3) on the hi plane; approx=True drops output plane s = 0 (u64 limb
+plane 4), oracle numpy_ref.blind_rotate(min_shift=5) — a budgeted
+low-order noise term mirroring tfhe-rs's f64 FFT error (the reference
+delegates this product to concrete-fft; SURVEY.md section 2.3, reference
+call sites src/ciphertext/fheasciichar.rs:36-103).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ntt import _center, omega_root
+from .ntt_ext import (LANE, _Acc, _dot8, _modc, _modc_f, _split2,
+                      _stage_dots, _limbs8, _FOLDS)
+
+# Two NTT primes == 1 (mod 4096): negacyclic N for all N <= 2048.
+PRIMES2 = (40961, 61441)
+M2 = PRIMES2[0] * PRIMES2[1]
+NUM_LB32 = 4  # key byte-limb planes of a 32-bit torus value
+_INV_P1_P2 = pow(PRIMES2[0], PRIMES2[1] - 2, PRIMES2[1])
+
+
+def max_plane_value(num_r: int, n: int) -> int:
+    """Worst-case |W_s| per output shift plane (single digit limb)."""
+    return num_r * n * 128 * 128
+
+
+def pack_fused32_consts(n: int):
+    """Twiddle-folded stage constants over PRIMES2 (single digit limb).
+
+    Shapes (P = 2 primes, n2 = n/128, nb = 128/n2):
+      wblkf [P, 2, 128, 128] int8  stage-1 blockdiag, in-col (b8, j2) ->
+            out-col (k2, b8); entry psi^{n1 j2} w^{n1 j2 k2}
+      w1f   [P, n2, 2, 128, 128] int8  per-k2 dense [j1, k1]:
+            w^{n2 j1 k1} * psi^{j1} w^{j1 k2}
+      w1i   [P, n2, 2, 128, 128] int8  per-k2 dense [k1, j1]:
+            w^{-n2 j1 k1} * psi^{-j1} w^{-j1 k2} / N
+      wblki [P, 2, 128, 128] int8  inv blockdiag, in-col (k2, b8) ->
+            out-col (b8, j2); entry psi^{-n1 j2} w^{-n1 j2 k2}
+    """
+    n1 = LANE
+    assert n % n1 == 0 and n >= n1
+    n2 = n // n1
+    nb = LANE // n2
+
+    wblkf, w1f, w1i, wblki = [], [], [], []
+    for p in PRIMES2:
+        psi = omega_root(p, 2 * n)
+        w = psi * psi % p
+        wi = pow(w, p - 2, p)
+        psii = pow(psi, p - 2, p)
+        n_inv = pow(n, p - 2, p)
+
+        j1 = np.arange(n1)
+        j2 = np.arange(n2)
+        k1 = np.arange(n1)
+        k2 = np.arange(n2)
+
+        def pw(base, e, p=p):
+            e = np.mod(e, 2 * n)
+            flat = np.array([pow(base, int(x), p) for x in e.ravel()],
+                            dtype=np.int64)
+            return flat.reshape(e.shape)
+
+        w2f = pw(psi, n1 * j2[:, None] + 0 * k2[None, :]) \
+            * pw(w, n1 * j2[:, None] * k2[None, :]) % p        # [j2, k2]
+        blk = np.zeros((LANE, LANE), np.int64)
+        for b in range(nb):
+            # in-col b*n2 + j2  ->  out-col k2*nb + b
+            blk[b * n2:(b + 1) * n2, b::nb] = w2f
+        wblkf.append(_limbs8(_center(blk, p)))
+
+        tw_f = pw(psi, j1[:, None] + 0 * k2[None, :]) \
+            * pw(w, j1[:, None] * k2[None, :]) % p             # [j1, k2]
+        base_w1 = pw(w, n2 * j1[:, None] * k1[None, :])        # [j1, k1]
+        w1f.append(np.stack([
+            _limbs8(_center(base_w1 * tw_f[:, kk:kk + 1] % p, p))
+            for kk in range(n2)]))
+
+        tw_i = pw(psii, j1[:, None] + 0 * k2[None, :]) \
+            * pw(wi, j1[:, None] * k2[None, :]) % p * n_inv % p
+        base_w1i = pw(wi, n2 * j1[None, :] * k1[:, None])      # [k1, j1]
+        w1i.append(np.stack([
+            _limbs8(_center(base_w1i * tw_i[:, kk].reshape(1, n1) % p, p))
+            for kk in range(n2)]))
+
+        w2i = pw(psii, n1 * j2[None, :] + 0 * k2[:, None]) \
+            * pw(wi, n1 * j2[None, :] * k2[:, None]) % p       # [k2, j2]
+        blk = np.zeros((LANE, LANE), np.int64)
+        for b in range(nb):
+            # in-col k2*nb + b  ->  out-col b*n2 + j2
+            blk[b::nb, b * n2:(b + 1) * n2] = w2i
+        wblki.append(_limbs8(_center(blk, p)))
+
+    as_j = lambda x: jnp.asarray(np.stack(x))
+    return {"wblkf": as_j(wblkf), "w1f": as_j(w1f), "w1i": as_j(w1i),
+            "wblki": as_j(wblki)}
+
+
+def _crt2_u32(v1, v2):
+    """Exact 2-prime CRT: centered int32 residues (mod 40961, mod 61441) ->
+    the centered integer (|W| < M2/2 guaranteed by range analysis), reduced
+    mod 2^32 as uint32 (Garner; all intermediates fit u32/int32)."""
+    P1, P2 = PRIMES2
+    x1 = v1 + jnp.where(v1 < 0, np.int32(P1), 0)           # [0, P1)
+    t = v2 - x1                                            # > -(P2/2 + P1)
+    t = t + jnp.where(t < 0, np.int32(P2), 0)
+    t = t + jnp.where(t < 0, np.int32(P2), 0)              # [0, P2)
+    pr = t.astype(jnp.uint32) * np.uint32(_INV_P1_P2)      # < P2^2 < 2^32
+    kf, cf = _FOLDS[P2]
+    v = ((pr >> kf).astype(jnp.int32) * np.int32(cf)
+         + (pr & np.uint32((1 << kf) - 1)).astype(jnp.int32))
+    x2 = _modc(v, (P2 * P2 >> kf) * cf + (1 << kf), P2)
+    x2 = x2 + jnp.where(x2 < 0, np.int32(P2), 0)           # [0, P2)
+    cu = x1.astype(jnp.uint32) + np.uint32(P1) * x2.astype(jnp.uint32)
+    over = cu > np.uint32(M2 // 2)
+    # centered value mod 2^32 (u32 wrap-around encodes the negatives)
+    return jnp.where(over, cu - np.uint32(M2), cu)
+
+
+def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
+                    w1i_ref, wblki_ref, out_ref,
+                    acc_s, dhat_ref, work_ref, res_ref, *,
+                    n: int, bt: int, num_r: int, ell: int, kp1: int,
+                    n_steps: int, base_log: int, s0: int, ablate: str = ""):
+    n1, n2 = LANE, n // LANE
+    nb = LANE // n2
+    C = bt * n // (LANE * LANE)
+    NS = NUM_LB32 - s0
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_s[...] = acc0_ref[...]
+
+    hi = acc_s[...]                                # [bt, kp1, N] u32
+    amt3 = amt_ref[...].reshape(bt, 1, 1).astype(jnp.int32)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 2)
+    bits = (2 * n).bit_length() - 1
+
+    # ---- EXACT negacyclic rotation of the single u32 plane ----------------
+    r = hi
+    for k in range(bits):
+        s = 1 << k
+        if s >= n:
+            nr = jnp.zeros_like(r) - r             # rotation by N == negation
+        else:
+            nr = pltpu.roll(r, s, 2)
+            nr = jnp.where(t_iota < s, jnp.zeros_like(nr) - nr, nr)
+        take = ((amt3 >> k) & 1) == 1
+        r = jnp.where(take, nr, r)
+    diff = r - hi                                  # u32 (wraps mod 2^32)
+
+    # ---- closest-representable rounding + balanced base-256 digits --------
+    # Identical to numpy_ref.decompose on diff << 32 (q_bits=64): the u64
+    # shift 64 - base_log*ell lands entirely inside this u32 plane.
+    sh32 = 32 - base_log * ell
+    assert sh32 > 0 and base_log == 8
+    state = (diff >> jnp.uint32(sh32)) + ((diff >> jnp.uint32(sh32 - 1))
+                                          & jnp.uint32(1))
+    digs = [None] * ell
+    for lev in range(ell - 1, -1, -1):             # least-significant first
+        d = (state & jnp.uint32(255)).astype(jnp.int32)
+        state = state >> jnp.uint32(8)
+        carry = (d >= 128).astype(jnp.int32)
+        d = d - (carry << 8)                       # in [-128, 127]
+        state = state + carry.astype(jnp.uint32)
+        digs[lev] = d
+
+    # ---- rows (r*ell + lev), T1-transposed, straight to int8 --------------
+    xts = []
+    for rr in range(kp1):
+        for lev in range(ell):
+            x3 = digs[lev][:, rr, :].reshape(C, LANE, LANE)
+            xts.append(jnp.swapaxes(x3, 1, 2).astype(jnp.int8))
+    A = jnp.concatenate(xts, axis=0).reshape(num_r * C * LANE, LANE)
+
+    for pi, p in enumerate(PRIMES2):
+        # ---- forward -------------------------------------------------------
+        db = 0
+        if "fwd" in ablate:
+            db = 128
+            dhat_ref[...] = A.astype(jnp.int32).reshape(num_r, C, LANE, LANE)
+        else:
+            s_raw = (_dot8(A, wblkf_ref[pi, 0]).astype(jnp.int32)
+                     + (_dot8(A, wblkf_ref[pi, 1]) << 8))
+            sv, sb = _modc_f(s_raw, (1 << 21) + (1 << 29), p)
+            sv = sv.reshape(num_r * C, LANE, LANE)  # rows j1, lanes (k2, b8)
+            stv = jnp.swapaxes(sv, 1, 2)            # rows (k2, b8), lanes j1
+            z0, z1 = _split2(stv)
+            for kk in range(n2):
+                rows = slice(kk * nb, (kk + 1) * nb)
+                a0 = z0[:, rows, :].reshape(num_r * C * nb, LANE)
+                a1 = z1[:, rows, :].reshape(num_r * C * nb, LANE)
+                wl = w1f_ref[pi, kk]
+                t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
+                                + (_dot8(a1, wl[1]) << 8),
+                                (1 << 22) + (1 << 29), p)
+                dv, db = _modc_f(_dot8(a0, wl[0]) + (t << 8),
+                                 (1 << 21) + (tb << 8), p)
+                dhat_ref[:, :, rows, :] = dv.reshape(num_r, C, nb, LANE)
+
+        # ---- pointwise: one plane per key byte-limb s = lb -----------------
+        if "pw" in ablate:
+            uall = jnp.broadcast_to(
+                dhat_ref[0][None], (kp1 * NS, C, LANE, LANE)
+            ).astype(jnp.int32) & 0x7FFF
+        else:
+            uhats = []
+            pb = db * ((p - 1) // 2)
+            for jout in range(kp1):
+                for s_pl in range(s0, NUM_LB32):
+                    acc = _Acc(p)
+                    for i in range(num_r):
+                        kh = khat_ref[0, pi, i, jout, s_pl].astype(jnp.int32)
+                        kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
+                        kt = kt.reshape(LANE, LANE)  # rows (k2, b8)
+                        acc.add(dhat_ref[i] * kt[None], pb)
+                    u, ub = acc.fast()
+                    uhats.append(u)                  # [C, (k2,b8), k1]
+            uall = jnp.stack(uhats)                  # [kp1*NS, C, .., ..]
+
+        # ---- inverse --------------------------------------------------------
+        if "inv" in ablate:
+            res_ref[pi] = uall.reshape(kp1, NS, C, LANE, LANE)
+        else:
+            u0, u1 = _split2(uall)
+            for kk in range(n2):
+                rows = slice(kk * nb, (kk + 1) * nb)
+                a0 = u0[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
+                a1 = u1[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
+                wl = w1i_ref[pi, kk]
+                t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
+                                + (_dot8(a1, wl[1]) << 8),
+                                (1 << 22) + (1 << 29), p)
+                qv, qb = _modc_f(_dot8(a0, wl[0]) + (t << 8),
+                                 (1 << 21) + (tb << 8), p)
+                work_ref[:, rows, :] = qv.reshape(kp1 * NS * C, nb, LANE)
+            qt = jnp.swapaxes(work_ref[...], 1, 2)   # rows j1, lanes (k2,b8)
+            res, _ = _stage_dots(
+                qt.reshape(kp1 * NS * C * LANE, LANE),
+                wblki_ref[pi], p, exact=True)
+            res_ref[pi] = res.reshape(kp1, NS, C, LANE, LANE)
+
+    # ---- 2-prime CRT per plane + u32 recombine + accumulate ----------------
+    for jout in range(kp1):
+        ext = None
+        for si in range(NS):
+            s_pl = s0 + si
+            if "crt" in ablate:
+                cu = res_ref[0, jout, si].astype(jnp.uint32)
+            else:
+                cu = _crt2_u32(res_ref[0, jout, si], res_ref[1, jout, si])
+            w = (cu << np.uint32(8 * s_pl)) if s_pl else cu
+            ext = w if ext is None else ext + w
+        # packed [C, j1, (b8, j2)] -> natural [bt, N]
+        nat = jnp.swapaxes(ext, 1, 2).reshape(bt, n)
+        acc_s[:, jout, :] = acc_s[:, jout, :] + nat
+
+    @pl.when(j == n_steps - 1)
+    def _():
+        out_ref[...] = acc_s[...].reshape(bt, kp1 * n)
+
+
+@functools.partial(jax.jit, static_argnames=("n_poly", "base_log", "ell",
+                                              "b_tile", "interpret",
+                                              "approx", "ablate"))
+def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
+                         khat: jnp.ndarray, consts: dict, *, n_poly: int,
+                         base_log: int, ell: int, b_tile: int = 128,
+                         interpret: bool = False, approx: bool = False,
+                         ablate: str = "") -> jnp.ndarray:
+    """Run the whole 32-bit blind rotation in one kernel.
+
+    acc_hi: u32 [B, kp1, N] initial accumulator hi plane (body = rotated
+            test poly; the u64 lo plane is identically zero in turbo mode);
+    amounts: int32 [B, n_steps] per-step rotation amounts in [0, 2N);
+    khat: int16 [n_steps, 2, R, kp1, 4, n2, n1] (keys.pack_bsk_ntt32);
+    consts: from pack_fused32_consts(n_poly).
+
+    Returns u32 [B, kp1, N]: the final accumulator hi plane, bit-identical
+    to numpy_ref.blind_rotate's hi limb (approx=True: min_shift=5 oracle).
+    """
+    B, kp1, n = acc_hi.shape
+    n_steps = amounts.shape[1]
+    assert khat.shape[0] == n_steps and khat.shape[1] == len(PRIMES2)
+    num_r = khat.shape[2]
+    assert num_r == kp1 * ell and khat.shape[4] == NUM_LB32
+    assert base_log == 8, "32-bit kernel assumes single-int8-limb digits"
+    assert max_plane_value(num_r, n) < M2 // 2
+    n1, n2 = LANE, n // LANE
+    nb = LANE // n2
+    bt = min(b_tile, B)
+    while B % bt or bt % nb:
+        bt //= 2
+    assert bt >= nb, (B, b_tile, nb)
+    C = bt * n // (LANE * LANE)
+    grid = (B // bt, n_steps)
+
+    s0 = 1 if approx else 0
+    NS = NUM_LB32 - s0
+    kshape = khat.shape
+    out = pl.pallas_call(
+        functools.partial(_fused32_kernel, n=n, bt=bt, num_r=num_r, ell=ell,
+                          kp1=kp1, n_steps=n_steps, base_log=base_log,
+                          s0=s0, ablate=ablate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, kp1, n), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda b, j: (j, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + kshape[1:], lambda b, j: (j,) + (0,) * 6,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(consts["wblkf"].shape, lambda b, j: (0,) * 4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(consts["w1f"].shape, lambda b, j: (0,) * 5,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(consts["w1i"].shape, lambda b, j: (0,) * 5,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(consts["wblki"].shape, lambda b, j: (0,) * 4,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, kp1 * n), lambda b, j: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, kp1 * n), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((bt, kp1, n), jnp.uint32),                   # acc
+            pltpu.VMEM((num_r, C, LANE, LANE), jnp.int32),          # dhat
+            pltpu.VMEM((kp1 * NS * C, LANE, LANE), jnp.int32),      # work
+            pltpu.VMEM((2, kp1, NS, C, LANE, LANE), jnp.int32),     # res
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(acc_hi,
+      jnp.transpose(amounts.astype(jnp.int32))[:, :, None], khat,
+      consts["wblkf"], consts["w1f"], consts["w1i"], consts["wblki"])
+    return out.reshape(B, kp1, n)

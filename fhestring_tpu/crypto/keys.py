@@ -57,7 +57,9 @@ class DeviceServerKeys:
     params: CryptoParams
     # int8 [n, (k+1)*ell, k+1, 8, 2N]: doubled BSK polys, balanced limb planes.
     bsk_limbs: jnp.ndarray
-    # int8 [kN*ks_level, (n+1)*8]: KSK limb planes ready for the KS matmul.
+    # int8 [kN*ks_level, (n+1)*P]: KSK limb planes ready for the KS matmul.
+    # P = 8 byte planes (64-bit torus) or 4 (32-bit torus: the low 4 planes
+    # of every subgroup-valued key are identically zero and are dropped).
     ksk_limbs: jnp.ndarray
     # int16 [n, 2(prime), (k+1)*ell, k+1, 8, 2N] or None: NTT-domain key
     # limb planes (centered residues) for the CRT-NTT external product.
@@ -65,10 +67,15 @@ class DeviceServerKeys:
     # int16 [n, 3(prime), (k+1)*ell, k+1, 8, n2, n1] or None: negacyclic
     # twisted-hat key (256^lb folded) for the v2 Pallas kernel (ntt_ext.py).
     bsk_ntt2: jnp.ndarray | None = None
+    # int16 [n, 2(prime), (k+1)*ell, k+1, 4, n2, n1] or None: plain twisted
+    # hats of the 4 nonzero byte-limb planes of a 32-bit-torus key, for the
+    # fused 32-bit kernel (kernels/blind_rotate_fused32.py).
+    bsk_ntt32: jnp.ndarray | None = None
 
 
 def _dsk_flatten(k: DeviceServerKeys):
-    return (k.bsk_limbs, k.ksk_limbs, k.bsk_ntt, k.bsk_ntt2), k.params
+    return (k.bsk_limbs, k.ksk_limbs, k.bsk_ntt, k.bsk_ntt2,
+            k.bsk_ntt32), k.params
 
 
 def _dsk_unflatten(params, children):
@@ -112,6 +119,34 @@ def pack_bsk_ntt2(bsk_limbs: np.ndarray) -> np.ndarray:
         hats.reshape(hats.shape[:-1] + (n // n1, n1)))
 
 
+def pack_bsk_ntt32(bsk: np.ndarray) -> np.ndarray:
+    """32-bit-torus NTT-domain key for the fused 32-bit kernel.
+
+    bsk: u64 [n, R, k+1, N] raw key polys, subgroup-valued (low 32 bits
+    zero).  Returns int16 [n, 2(prime), R, k+1, 4, n2, n1]: plain twisted
+    hats of the 4 balanced byte-limb planes of the u32 payload."""
+    from . import ntt2
+    from .kernels.blind_rotate_fused32 import PRIMES2
+
+    bsk = np.asarray(bsk, U64NP)
+    assert (bsk << U64NP(32) == 0).all(), "key not in the 32-bit subgroup"
+    payload = (bsk >> U64NP(32)).astype(np.uint32)
+    # balanced byte limbs of the u32 payload (final carry wraps mod 2^32)
+    state = payload.astype(np.int64)
+    limbs = np.zeros(payload.shape + (4,), np.int8)
+    for i in range(4):
+        d = ((state + 128) & 255) - 128
+        limbs[..., i] = d.astype(np.int8)
+        state = (state - d) >> 8
+    limbs = np.moveaxis(limbs, -1, -2)           # [n, R, k+1, 4, N]
+    n_poly = bsk.shape[-1]
+    hats = ntt2.key_hats2(limbs, n_poly, PRIMES2)  # [2, n, R, k+1, 4, N]
+    hats = np.moveaxis(hats, 0, 1)               # [n, 2, R, k+1, 4, N]
+    n1 = min(128, n_poly)
+    return np.ascontiguousarray(
+        hats.reshape(hats.shape[:-1] + (n_poly // n1, n1)))
+
+
 def pack_server_keys(srv: ref.ServerKeys, with_ntt: bool = False,
                      with_ntt2: bool = False) -> DeviceServerKeys:
     p = srv.params
@@ -124,16 +159,28 @@ def pack_server_keys(srv: ref.ServerKeys, with_ntt: bool = False,
     # KSK: [kN, ks_level, n+1] u64 -> limbs [kN, lev, n+1, 8]
     ksk = balanced_limbs_u64(srv.ksk)
     K = p.big_lwe_dimension * p.ks_level
-    ksk_limbs = ksk.reshape(K, (p.lwe_dimension + 1) * 8)
+    if p.torus_bits == 32:
+        # subgroup-valued keys: byte planes 0-3 are identically zero —
+        # drop them so the KS matmul emits (n+1)*4 planes.
+        assert not ksk[..., :4].any(), "ksk not in the 32-bit subgroup"
+        ksk = ksk[..., 4:]
+    nplanes = ksk.shape[-1]
+    ksk_limbs = ksk.reshape(K, (p.lwe_dimension + 1) * nplanes)
 
     bsk_ntt = pack_bsk_ntt(bsk_limbs) if with_ntt else None
-    bsk_ntt2 = pack_bsk_ntt2(bsk_limbs) if with_ntt2 else None
+    bsk_ntt2 = bsk_ntt32 = None
+    if with_ntt2:
+        if p.torus_bits == 32:
+            bsk_ntt32 = pack_bsk_ntt32(srv.bsk)
+        else:
+            bsk_ntt2 = pack_bsk_ntt2(bsk_limbs)
     return DeviceServerKeys(
         params=p,
         bsk_limbs=jnp.asarray(bsk_limbs),
         ksk_limbs=jnp.asarray(ksk_limbs),
         bsk_ntt=None if bsk_ntt is None else jnp.asarray(bsk_ntt),
         bsk_ntt2=None if bsk_ntt2 is None else jnp.asarray(bsk_ntt2),
+        bsk_ntt32=None if bsk_ntt32 is None else jnp.asarray(bsk_ntt32),
     )
 
 

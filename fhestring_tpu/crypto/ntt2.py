@@ -232,6 +232,20 @@ def key_hats(key_limbs: np.ndarray, n: int) -> np.ndarray:
     return np.stack(hats).astype(np.int16)
 
 
+def key_hats2(key_limbs: np.ndarray, n: int, primes) -> np.ndarray:
+    """Plain (unscaled) forward hats of key byte-limb planes per prime.
+
+    key_limbs: int8 [..., LB, N] -> centered int16 [P, ..., LB, N].
+    Unlike key_hats, NO 256^lb weight is folded in: the 32-bit fused kernel
+    (kernels/blind_rotate_fused32.py) keeps shift planes separate through
+    the inverse transform and recombines sum_s W_s << 8s in uint32."""
+    hats = []
+    for p in primes:
+        plan = make_neg_plan(p, n)
+        hats.append(neg_fwd(key_limbs.astype(np.int64), plan))
+    return np.stack(hats).astype(np.int16)
+
+
 def ext_u64_ntt2_numpy(dl: np.ndarray, khat: np.ndarray, n: int):
     """Grouped-CRT external product, NumPy reference.
 

@@ -96,8 +96,17 @@ def keyswitch(ct: U64, keys: DeviceServerKeys) -> U64:
     d = d.reshape(d.shape[0], kn * p.ks_level)
 
     planes = jax.lax.dot(d, keys.ksk_limbs, preferred_element_type=jnp.int32)
-    planes = planes.reshape(d.shape[0], p.lwe_dimension + 1, 8)
-    acc = recombine_planes(planes)  # U64 [B, n+1]
+    nplanes = keys.ksk_limbs.shape[1] // (p.lwe_dimension + 1)
+    planes = planes.reshape(d.shape[0], p.lwe_dimension + 1, nplanes)
+    if nplanes == 4:
+        # 32-bit torus: the 4 planes are byte limbs 4..7 of the u64 value —
+        # recombine them mod 2^32 into the hi limb; lo stays zero.
+        hi = jnp.zeros(planes.shape[:-1], jnp.uint32)
+        for s in range(4):
+            hi = hi + (planes[..., s].astype(jnp.uint32) << jnp.uint32(8 * s))
+        acc = U64(jnp.zeros_like(hi), hi)  # U64 [B, n+1]
+    else:
+        acc = recombine_planes(planes)  # U64 [B, n+1]
 
     out = torus.neg(acc)
     out_lo = out.lo.at[:, -1].add(b.lo)
@@ -467,6 +476,14 @@ def _fused_consts_cached(n: int, num_la: int):
         return pack_fused_consts(n, num_la)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused32_consts_cached(n: int):
+    from .kernels.blind_rotate_fused32 import pack_fused32_consts
+
+    with jax.ensure_compile_time_eval():
+        return pack_fused32_consts(n)
+
+
 def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
                  use_pallas: bool = False, use_ntt: bool = False,
                  use_ntt2: bool = False, use_fused: bool = False,
@@ -486,6 +503,26 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
     # there.
     b = lwe_2n[:, -1]
     acc = rotate(acc, (2 * N - b) & (2 * N - 1), N)
+
+    if use_fused and p.torus_bits == 32:
+        from .kernels.blind_rotate_fused32 import blind_rotate_fused32
+
+        assert keys.bsk_ntt32 is not None, "pack_server_keys(with_ntt2=True)"
+        interpret = jax.default_backend() == "cpu"
+        B = acc.lo.shape[0]
+        nb = 128 // (N // 128)
+        bp = -(-B // nb) * nb
+        ahi = acc.hi
+        amounts = lwe_2n[:, :p.lwe_dimension]
+        if bp != B:
+            ahi = jnp.pad(ahi, ((0, bp - B), (0, 0), (0, 0)))
+            amounts = jnp.pad(amounts, ((0, bp - B), (0, 0)))
+        consts = _fused32_consts_cached(N)
+        hi = blind_rotate_fused32(ahi, amounts, keys.bsk_ntt32, consts,
+                                  n_poly=N, base_log=p.pbs_base_log,
+                                  ell=p.pbs_level, interpret=interpret,
+                                  approx=approx)
+        return U64(jnp.zeros((B,) + hi.shape[1:], jnp.uint32), hi[:B])
 
     if use_fused:
         from .kernels.blind_rotate_fused import blind_rotate_fused

@@ -40,6 +40,14 @@ def _compile(src: str, out: str, extra_groups) -> bool:
     return False
 
 
+def _stale(so_path: str, srcs) -> bool:
+    """Rebuild when missing or older than any of its sources."""
+    if not os.path.exists(so_path):
+        return True
+    so_m = os.path.getmtime(so_path)
+    return any(os.path.getmtime(s) > so_m for s in srcs)
+
+
 def _build() -> bool:
     return _compile(os.path.join(_HERE, "csprng.cpp"), _SO_PATH,
                     (["-maes", "-msse4.1"], []))
@@ -65,8 +73,8 @@ def _load_keygen():
     global _KG_LIB
     if _KG_LIB is not None:
         return _KG_LIB
-    if not os.path.exists(_KG_SO_PATH):
-        src = os.path.join(_HERE, "keygen.cpp")
+    src = os.path.join(_HERE, "keygen.cpp")
+    if _stale(_KG_SO_PATH, (src, os.path.join(_HERE, "csprng.cpp"))):
         if not _compile(src, _KG_SO_PATH,
                         (["-maes", "-msse4.1", "-fopenmp"],
                          ["-maes", "-msse4.1"], ["-fopenmp"], [])):
@@ -75,8 +83,8 @@ def _load_keygen():
     c = ctypes
     lib.tfhe_keygen.argtypes = [
         c.c_uint32, c.c_uint32, c.c_uint32, c.c_uint32, c.c_uint32,
-        c.c_uint32, c.c_uint32, c.c_double, c.c_double, c.c_char_p,
-        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p]
+        c.c_uint32, c.c_uint32, c.c_uint32, c.c_double, c.c_double,
+        c.c_char_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p]
     lib.tfhe_keygen.restype = None
     _KG_LIB = lib
     return lib
@@ -110,7 +118,7 @@ def keygen_native(params, key: bytes):
     assert len(key) == 16
     lib.tfhe_keygen(
         n, k, N, ell, p.pbs_base_log, p.ks_level, p.ks_base_log,
-        float(p.lwe_noise_std), float(p.glwe_noise_std), key,
+        p.torus_bits, float(p.lwe_noise_std), float(p.glwe_noise_std), key,
         lwe_sk.ctypes.data_as(ctypes.c_void_p),
         glwe_sk.ctypes.data_as(ctypes.c_void_p),
         bsk.ctypes.data_as(ctypes.c_void_p),

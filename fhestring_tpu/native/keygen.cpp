@@ -20,9 +20,15 @@
 //
 // C ABI:
 //   void tfhe_keygen(n, k, N, ell, pbs_base_log, ks_level, ks_base_log,
-//                    lwe_noise_std, glwe_noise_std, key16,
+//                    torus_bits, lwe_noise_std, glwe_noise_std, key16,
 //                    lwe_sk[n], glwe_sk[k*N],
 //                    bsk[n,(k+1)*ell,k+1,N], ksk[k*N,ks_level,n+1])
+//
+// torus_bits < 64 (the reduced-precision turbo mode, params.py) quantizes
+// every mask and noise sample to the subgroup 2^(64-torus_bits) * Z: masks
+// are full u64 draws with the low bits cleared (draw count unchanged),
+// noise is round(N(0, std_rel * 2^torus_bits)) << (64 - torus_bits) —
+// matching numpy_ref._uniform/_noise exactly.
 
 #include "csprng.cpp"
 
@@ -46,13 +52,23 @@ constexpr uint64_t KSK_STRIDE = 1ull << 16;
 struct Stream {
   const uint8_t* key;
   uint64_t counter;
+  uint32_t torus_bits;
+  uint64_t sub_mask;  // clears the low (64 - torus_bits) bits of a draw
 
-  Stream(const uint8_t* key16, uint64_t counter_base)
-      : key(key16), counter(counter_base) {}
+  Stream(const uint8_t* key16, uint64_t counter_base, uint32_t tbits = 64)
+      : key(key16), counter(counter_base), torus_bits(tbits),
+        sub_mask(tbits >= 64 ? ~0ull : ~((1ull << (64 - tbits)) - 1)) {}
 
   void fill_u64(uint64_t* out, size_t n) {
     aes128_ctr_fill(reinterpret_cast<uint8_t*>(out), n * 8, key, counter);
     counter += (n * 8 + 15) / 16;
+  }
+
+  // Uniform torus mask over the effective subgroup (numpy_ref._uniform).
+  void fill_mask(uint64_t* out, size_t n) {
+    fill_u64(out, n);
+    if (torus_bits < 64)
+      for (size_t t = 0; t < n; ++t) out[t] &= sub_mask;
   }
 
   uint64_t next_u64() {
@@ -70,11 +86,13 @@ struct Stream {
     return std::sqrt(-2.0 * std::log(u1)) * std::cos(6.283185307179586 * u2);
   }
 
-  // Torus noise sample: round(N(0, std_rel * 2^64)) mod 2^64.
+  // Torus noise sample quantized to the subgroup (numpy_ref._noise):
+  // round(N(0, std_rel * 2^torus_bits)) << (64 - torus_bits).
   uint64_t next_noise(double std_rel) {
     if (std_rel == 0.0) return 0;
-    double z = next_normal() * std_rel * 0x1p64;
-    return static_cast<uint64_t>(static_cast<int64_t>(std::llround(z)));
+    double z = next_normal() * std_rel * std::ldexp(1.0, torus_bits);
+    return static_cast<uint64_t>(static_cast<int64_t>(std::llround(z)))
+           << (64 - torus_bits);
   }
 
   // Batched torus noise: one AES fill for all 2*count uniforms (the AES key
@@ -86,14 +104,16 @@ struct Stream {
     }
     std::vector<uint64_t> u(2 * count);
     fill_u64(u.data(), u.size());
-    const double scale = std_rel * 0x1p64;
+    const double scale = std_rel * std::ldexp(1.0, torus_bits);
+    const uint32_t sh = 64 - torus_bits;
     for (size_t t = 0; t < count; ++t) {
       double u1 = (static_cast<double>(u[2 * t]) + 1.0) * 0x1p-64;
       double u2 = (static_cast<double>(u[2 * t + 1]) + 1.0) * 0x1p-64;
       double z = std::sqrt(-2.0 * std::log(u1)) *
                  std::cos(6.283185307179586 * u2);
       out[t] = static_cast<uint64_t>(
-          static_cast<int64_t>(std::llround(z * scale)));
+                   static_cast<int64_t>(std::llround(z * scale)))
+               << sh;
     }
   }
 };
@@ -111,10 +131,10 @@ extern "C" {
 
 void tfhe_keygen(uint32_t n, uint32_t k, uint32_t N, uint32_t ell,
                  uint32_t pbs_base_log, uint32_t ks_level,
-                 uint32_t ks_base_log, double lwe_noise_std,
-                 double glwe_noise_std, const uint8_t key16[16],
-                 int64_t* lwe_sk, int64_t* glwe_sk, uint64_t* bsk,
-                 uint64_t* ksk) {
+                 uint32_t ks_base_log, uint32_t torus_bits,
+                 double lwe_noise_std, double glwe_noise_std,
+                 const uint8_t key16[16], int64_t* lwe_sk, int64_t* glwe_sk,
+                 uint64_t* bsk, uint64_t* ksk) {
   // ---- secret keys (single stream, deterministic) -------------------------
   {
     Stream s(key16, SK_BASE);
@@ -134,7 +154,8 @@ void tfhe_keygen(uint32_t n, uint32_t k, uint32_t N, uint32_t ell,
 #pragma omp parallel for schedule(dynamic)
 #endif
   for (int64_t j = 0; j < static_cast<int64_t>(n); ++j) {
-    Stream s(key16, BSK_BASE + static_cast<uint64_t>(j) * BSK_STRIDE);
+    Stream s(key16, BSK_BASE + static_cast<uint64_t>(j) * BSK_STRIDE,
+             torus_bits);
     const uint64_t bit = static_cast<uint64_t>(lwe_sk[j]);
     uint64_t* out_j = bsk + j * ggsw_len;
     for (uint32_t r = 0; r < kp1; ++r) {
@@ -145,7 +166,7 @@ void tfhe_keygen(uint32_t n, uint32_t k, uint32_t N, uint32_t ell,
         s.fill_noise(body, N, glwe_noise_std);
         for (uint32_t i = 0; i < k; ++i) {
           uint64_t* a = row + static_cast<size_t>(i) * N;
-          s.fill_u64(a, N);
+          s.fill_mask(a, N);
           const int64_t* ski = glwe_sk + static_cast<size_t>(i) * N;
           for (uint32_t c = 0; c < N; ++c)
             if (ski[c]) nega_accum_shift(body, a, N, c);
@@ -167,11 +188,12 @@ void tfhe_keygen(uint32_t n, uint32_t k, uint32_t N, uint32_t ell,
 #pragma omp parallel for schedule(dynamic)
 #endif
   for (int64_t i = 0; i < static_cast<int64_t>(big_dim); ++i) {
-    Stream s(key16, KSK_BASE + static_cast<uint64_t>(i) * KSK_STRIDE);
+    Stream s(key16, KSK_BASE + static_cast<uint64_t>(i) * KSK_STRIDE,
+             torus_bits);
     const uint64_t ski = static_cast<uint64_t>(glwe_sk[i]);  // flattened key
     for (uint32_t lev = 0; lev < ks_level; ++lev) {
       uint64_t* ct = ksk + (static_cast<size_t>(i) * ks_level + lev) * ksk_row;
-      s.fill_u64(ct, n);  // the mask a
+      s.fill_mask(ct, n);  // the mask a
       uint64_t b = s.next_noise(lwe_noise_std);
       for (uint32_t t = 0; t < n; ++t)
         b += ct[t] * static_cast<uint64_t>(lwe_sk[t]);

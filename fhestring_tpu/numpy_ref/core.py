@@ -156,16 +156,30 @@ def keygen(params: CryptoParams, rng: np.random.Generator) -> tuple[SecretKeys, 
         for lev in range(p.ks_level):
             g = gadget_factor(lev, p.ks_base_log, p.ks_level, p.q_bits)
             pt = U64((int(big_sk[i]) * g) % (1 << 64))
-            ksk[i, lev] = lwe_encrypt_raw(lwe_sk, pt, p.lwe_noise_std, rng)
+            ksk[i, lev] = lwe_encrypt_raw(lwe_sk, pt, p.lwe_noise_std, rng,
+                                          p.torus_bits)
 
     return sk, ServerKeys(p, bsk, ksk)
 
 
-def _noise(std_rel: float, shape, rng: np.random.Generator) -> np.ndarray:
+def _noise(std_rel: float, shape, rng: np.random.Generator,
+           torus_bits: int = 64) -> np.ndarray:
+    """Gaussian torus noise, quantized to the effective torus subgroup:
+    multiples of 2**(64 - torus_bits) (exact for torus_bits=64)."""
     if std_rel == 0.0:
         return np.zeros(shape, dtype=U64)
-    e = np.rint(rng.normal(0.0, std_rel * 2.0**64, size=shape)).astype(np.int64)
+    e = np.rint(rng.normal(0.0, std_rel * 2.0**torus_bits, size=shape))
+    e = e.astype(np.int64) << (64 - torus_bits)
     return e.astype(U64)
+
+
+def _uniform(shape, rng: np.random.Generator, torus_bits: int = 64) -> np.ndarray:
+    """Uniform torus mask over the effective subgroup (draw count is
+    independent of torus_bits: full u64 draws masked down)."""
+    a = rng.integers(0, 1 << 64, size=shape, dtype=U64)
+    if torus_bits < 64:
+        a &= U64(((1 << torus_bits) - 1) << (64 - torus_bits))
+    return a
 
 
 # ---------------------------------------------------------------------------
@@ -173,11 +187,18 @@ def _noise(std_rel: float, shape, rng: np.random.Generator) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def lwe_encrypt_raw(sk_bits: np.ndarray, pt: np.uint64, noise_std: float,
-                    rng: np.random.Generator) -> np.ndarray:
-    """Encrypt raw torus plaintext under a binary LWE key. Returns [dim+1]."""
+                    rng: np.random.Generator,
+                    torus_bits: int = 64) -> np.ndarray:
+    """Encrypt raw torus plaintext under a binary LWE key. Returns [dim+1].
+
+    pt must lie in the effective torus subgroup (a multiple of
+    2**(64 - torus_bits)); mask and noise are sampled inside it, so the
+    ciphertext stays subgroup-valued coordinate-wise."""
+    assert int(pt) % (1 << (64 - torus_bits)) == 0, (pt, torus_bits)
     dim = sk_bits.shape[0]
-    a = rng.integers(0, 1 << 64, size=dim, dtype=U64)
-    b = (a * sk_bits.astype(U64)).sum(dtype=U64) + U64(pt) + _noise(noise_std, (), rng)
+    a = _uniform((dim,), rng, torus_bits)
+    b = (a * sk_bits.astype(U64)).sum(dtype=U64) + U64(pt) \
+        + _noise(noise_std, (), rng, torus_bits)
     return np.concatenate([a, np.atleast_1d(b)])
 
 
@@ -202,9 +223,9 @@ def glwe_encrypt_zero(sk: SecretKeys, rng: np.random.Generator) -> np.ndarray:
     p = sk.params
     k, N = p.glwe_dimension, p.polynomial_size
     out = np.zeros((k + 1, N), dtype=U64)
-    body = _noise(p.glwe_noise_std, (N,), rng)
+    body = _noise(p.glwe_noise_std, (N,), rng, p.torus_bits)
     for i in range(k):
-        a = rng.integers(0, 1 << 64, size=N, dtype=U64)
+        a = _uniform((N,), rng, p.torus_bits)
         out[i] = a
         body = body + polymul(a, sk.glwe_sk[i].astype(U64))
     out[k] = body
@@ -339,12 +360,15 @@ def polymul_planes(d: np.ndarray, poly: np.ndarray, num_la: int,
 
 def cmux_fused(bsk_j: np.ndarray, acc: np.ndarray, aj: int, p: CryptoParams,
                rounded: bool = False, min_shift: int = 0) -> np.ndarray:
-    """CMux evaluated exactly the way the fused TPU kernel evaluates it
-    (ell = 1 only): optional ROUNDED decomposition (see cmux_rounded) and
+    """CMux evaluated exactly the way the fused TPU kernels evaluate it:
+    optional ROUNDED decomposition (see cmux_rounded; ell = 1 only) and
     optional plane truncation (see polymul_planes).  With rounded=False,
-    min_shift=0 this is bit-identical to cmux(bsk_j, acc, rot(acc))."""
-    assert p.pbs_level == 1
-    blog = p.pbs_base_log
+    min_shift=0 this is bit-identical to cmux(bsk_j, acc, rot(acc)).  For
+    ell > 1 (the 32-bit turbo set) every gadget level contributes one
+    plane-truncated product, matching blind_rotate_fused32's approx mode
+    (its dropped kernel plane s'=0 is u64 limb plane s=4, so min_shift=5)."""
+    blog, ell = p.pbs_base_log, p.pbs_level
+    assert not (rounded and ell != 1)
     num_la = (blog + 8) // 8
     out = acc.copy()
     for r in range(p.glwe_dimension + 1):
@@ -365,13 +389,15 @@ def cmux_fused(bsk_j: np.ndarray, acc: np.ndarray, aj: int, p: CryptoParams,
                 rot = (U64(0) - rot) & mask
             state = (rot - acc_r) & mask
             d = state.astype(np.int64) - (state >= half).astype(np.int64) * (1 << blog)
+            digits = d[None]
         else:
             diff = poly_rotate(acc[r], int(aj)) - acc[r]
-            d = decompose(diff, blog, 1, p.q_bits)[0]
-        row = bsk_j[r]          # ell = 1: [k+1, N]
-        for col in range(p.glwe_dimension + 1):
-            out[col] = out[col] + polymul_planes(d, row[col], num_la,
-                                                 min_shift)
+            digits = decompose(diff, blog, ell, p.q_bits)
+        for lev in range(ell):
+            row = bsk_j[r * ell + lev]   # [k+1, N]
+            for col in range(p.glwe_dimension + 1):
+                out[col] = out[col] + polymul_planes(digits[lev], row[col],
+                                                     num_la, min_shift)
     return out
 
 
@@ -484,7 +510,8 @@ def pbs(ct_big: np.ndarray, table, srv: ServerKeys) -> np.ndarray:
 
 def shortint_encrypt(sk: SecretKeys, value: int, rng: np.random.Generator) -> np.ndarray:
     p = sk.params
-    return lwe_encrypt_raw(sk.big_lwe_sk, encode(value, p), p.glwe_noise_std, rng)
+    return lwe_encrypt_raw(sk.big_lwe_sk, encode(value, p), p.glwe_noise_std,
+                           rng, p.torus_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +546,8 @@ def public_keygen(sk: SecretKeys, rng: np.random.Generator,
     dim = sk.big_lwe_sk.shape[0]
     m = zero_count or (dim + 1) * p.q_bits + 128
     zeros = np.stack([
-        lwe_encrypt_raw(sk.big_lwe_sk, U64(0), p.glwe_noise_std, rng)
+        lwe_encrypt_raw(sk.big_lwe_sk, U64(0), p.glwe_noise_std, rng,
+                        p.torus_bits)
         for _ in range(m)])
     return PublicKey(p, zeros)
 

@@ -55,12 +55,18 @@ class CryptoParams:
     # Effective torus precision: ciphertext values are multiples of
     # 2**(64 - torus_bits), i.e. they live in the subgroup
     # 2**(64-torus_bits) * Z / 2**64 Z  ~  Z / 2**torus_bits Z.
-    # torus_bits=64 is the tfhe-rs-mirroring default; torus_bits=32 is the
-    # TPU turbo mode: all mod-2**64 arithmetic is inherited unchanged (the
-    # subgroup is closed under +, -, and integer scaling), but key material
-    # halves and the low 4 of 8 balanced byte-limb planes of every key
-    # polynomial are exactly zero, which the kernels exploit.  Only noise
-    # and uniform-mask sampling change (quantized to the subgroup).
+    # torus_bits=64 is the tfhe-rs-mirroring default.  torus_bits=32 is the
+    # TPU turbo mode, implemented end-to-end: noise and uniform-mask
+    # sampling are quantized to the subgroup (numpy_ref._noise/_uniform,
+    # native/keygen.cpp), the low 4 of 8 balanced byte-limb planes of every
+    # key are exactly zero so device keys pack 4 planes (crypto/keys.py),
+    # the keyswitch matmul emits 4 output planes (crypto/pbs.keyswitch),
+    # and the blind rotation runs a dedicated single-u32-plane kernel with
+    # 1-limb digits and exact 2-prime CRT
+    # (crypto/kernels/blind_rotate_fused32.py).  All mod-2**64 arithmetic is
+    # inherited unchanged (the subgroup is closed under +, -, and integer
+    # scaling), so the U64 ciphertext representation keeps lo == 0
+    # everywhere.
     torus_bits: int = 64
 
     # ---- derived quantities -------------------------------------------------
@@ -130,6 +136,48 @@ PARAM_MESSAGE_2_CARRY_2_KS_PBS_64 = CryptoParams(
 PARAM_PROD = PARAM_MESSAGE_2_CARRY_2_KS_PBS_64
 
 # ---------------------------------------------------------------------------
+# 32-bit-torus production set (TPU turbo mode): same plaintext encoding and
+# the same end-to-end noise as the 64-bit mirror, at roughly half the kernel
+# cost.  Dimensioning rationale:
+#
+# - LWE (n=742, sigma/q = 2^-17.1): identical dimension AND noise RATIO to
+#   tfhe-rs PARAM_MESSAGE_2_CARRY_2_KS_PBS — LWE security depends on
+#   (n, sigma/q), so the 128-bit estimate carries over unchanged.
+# - GLWE (k=1, N=2048, sigma/q = 2^-32): 128-bit security at dimension 2048
+#   only requires sigma/q >= ~2^-51.7 (the tfhe-rs prod value); 2^-32 is
+#   ~2^19 MORE noise, i.e. a strictly larger security margin.  The larger
+#   BSK noise is absorbed by a deeper gadget ladder (below).
+# - PBS gadget base_log=8, level=3 (covers 24 of 32 torus bits):
+#   decomposition-error std ~2^-15.5 rel, BSK-noise term std ~2^-14.2 rel —
+#   both negligible against the keyswitch (~2^-9.2) and modswitch (~2^-10)
+#   terms, WHICH ARE IDENTICAL to the 64-bit set (they depend only on
+#   n, N, ks ladder and relative LWE noise).  End-to-end decode margin is
+#   therefore the same as PARAM_PROD's; benchmarks/noise_calibration.py
+#   measures it on-device.
+# - Digits |d| <= 128 fit ONE balanced int8 limb, keys quantized to the
+#   subgroup have exactly 4 nonzero byte-limb planes, and every external-
+#   product shift plane fits exact 2-prime CRT in int32 — the kernel-cost
+#   halving the mode exists for (crypto/kernels/blind_rotate_fused32.py).
+# ---------------------------------------------------------------------------
+PARAM_MESSAGE_2_CARRY_2_KS_PBS_32 = CryptoParams(
+    name="msg2_carry2_ks_pbs_q32",
+    q_bits=64,
+    lwe_dimension=742,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise_std=0.000007069849454709433,
+    glwe_noise_std=2.0**-32,
+    pbs_base_log=8,
+    pbs_level=3,
+    ks_base_log=3,
+    ks_level=5,
+    torus_bits=32,
+)
+
+# TPU turbo alias (the bench.py default path).
+PARAM_TURBO = PARAM_MESSAGE_2_CARRY_2_KS_PBS_32
+
+# ---------------------------------------------------------------------------
 # Small parameter sets for CI. Zero/tiny noise keeps tests deterministic and
 # fast while exercising every code path (decomposition rounding, modswitch
 # drift and negacyclic wraparound still occur).  NOT SECURE — tests only.
@@ -180,4 +228,36 @@ PARAM_TEST_STAT = CryptoParams(
     pbs_level=1,
     ks_base_log=3,
     ks_level=5,
+)
+
+# CI mirrors of the 32-bit turbo set (same gadget shape: base 2^8, 3 levels,
+# single-limb digits, 4 key limb planes). NOT SECURE — tests only.
+PARAM_TEST32_ZERO_NOISE = CryptoParams(
+    name="test32_zero_noise",
+    q_bits=64,
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+    pbs_base_log=8,
+    pbs_level=3,
+    ks_base_log=3,
+    ks_level=5,
+    torus_bits=32,
+)
+
+PARAM_TEST32_STAT = CryptoParams(
+    name="test32_stat",
+    q_bits=64,
+    lwe_dimension=32,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_std=0.000007069849454709433,
+    glwe_noise_std=2.0**-32,
+    pbs_base_log=8,
+    pbs_level=3,
+    ks_base_log=3,
+    ks_level=5,
+    torus_bits=32,
 )

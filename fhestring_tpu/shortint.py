@@ -45,6 +45,33 @@ MAX_NOISE_VAR = 34.0
 MAX_DEGREE = 15
 
 
+def _shard_batch_hint(flat: U64) -> U64:
+    """Pin the padded PBS batch to data sharding when tracing under a mesh.
+
+    The engine's grids have odd sizes (e.g. (len+1)^2 split buffers), so
+    after flattening GSPMD often cannot propagate the lane sharding and
+    replicates the widest PBS batches — the dominant cost under a mesh.
+    The padded width is always a multiple of the mesh size (powers of two
+    on CPU, 128/1024-multiples on TPU), so an explicit constraint is always
+    legal; outside a mesh this is a no-op."""
+    import jax
+
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        from .parallel import BATCH_AXIS
+
+        if mesh is None or mesh.empty or BATCH_AXIS not in mesh.axis_names:
+            return flat
+        if flat.lo.shape[0] % mesh.shape[BATCH_AXIS]:
+            return flat
+        spec = jax.sharding.PartitionSpec(
+            BATCH_AXIS, *([None] * (flat.lo.ndim - 1)))
+        wsc = jax.lax.with_sharding_constraint
+        return U64(wsc(flat.lo, spec), wsc(flat.hi, spec))
+    except Exception:  # pre-mesh jax or non-GSPMD tracing: no hint
+        return flat
+
+
 @dataclasses.dataclass
 class Blocks:
     """A tensor of shortint blocks: ct is U64 [..., kN+1]."""
@@ -185,19 +212,27 @@ class ShortintContext:
             flat = U64(jnp.concatenate([flat.lo, zlo]),
                        jnp.concatenate([flat.hi, zlo]))
             idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
+        flat = _shard_batch_hint(flat)
         # On TPU, take the fused whole-blind-rotation NTT kernel when the
-        # NTT2-domain key is packed, in its rounded + plane-truncated mode
-        # (715 vs 597 exact-fused vs 428 Hankel-matmul PBS/s at B=1024, prod
-        # params, v5e - benchmarks/RESULTS.md; both modes are plaintext-
-        # equivalent budgeted-noise approximations, calibrated on-device by
-        # benchmarks/noise_calibration.py), else the matmul kernel; on CPU
-        # keep the einsum path (native XLA, no interpret overhead).
+        # NTT-domain key is packed, else the matmul kernel; on CPU keep the
+        # einsum path (native XLA, no interpret overhead).
+        # - 32-bit torus (turbo): the EXACT fused32 kernel (single u32
+        #   plane, 1-limb digits, 2-prime CRT). Its approx mode is NOT used:
+        #   the dropped plane sits at 2^-32 relative scale, too coarse.
+        # - 64-bit torus: rounded + plane-truncated fused kernel (715 vs
+        #   597 exact-fused vs 428 Hankel-matmul PBS/s at B=1024, prod
+        #   params, v5e — benchmarks/RESULTS.md; both modes are plaintext-
+        #   equivalent budgeted-noise approximations, calibrated on-device
+        #   by benchmarks/noise_calibration.py).
         on_tpu = jax.default_backend() != "cpu"
-        use_fused = on_tpu and self.keys.bsk_ntt2 is not None
+        turbo = self.params.torus_bits == 32
+        ntt_key = self.keys.bsk_ntt32 if turbo else self.keys.bsk_ntt2
+        use_fused = on_tpu and ntt_key is not None
         out = pbs_batch(flat, idx, bank, self.keys,
-                        use_pallas=on_tpu and not use_fused,
-                        use_fused=use_fused, rounded=use_fused,
-                        approx=use_fused)
+                        use_pallas=on_tpu and not use_fused and not turbo,
+                        use_fused=use_fused,
+                        rounded=use_fused and not turbo,
+                        approx=use_fused and not turbo)
         if padded != n:
             out = U64(out.lo[:n], out.hi[:n])
         return out

@@ -43,6 +43,16 @@ class ClearBackend:
             carry = body(carry, {k: v[i] for k, v in xs.items()})
         return carry
 
+    def scan_out(self, body, carry, xs: dict, length: int):
+        """Like scan, but body returns (carry, y); returns (carry, ys) with
+        the per-step ys stacked along a new leading axis.  Keeps scan
+        carries small: per-step products belong in ys, not in the carry."""
+        ys = []
+        for i in range(length):
+            carry, y = body(carry, {k: v[i] for k, v in xs.items()})
+            ys.append(y)
+        return carry, np.stack(ys)
+
     def dynamic_slice(self, x, start, size: int, axis=0):
         start = int(np.clip(start, 0, x.shape[axis] - size))
         idx = [slice(None)] * x.ndim
@@ -251,6 +261,23 @@ class FheBackend:
         with metrics.scan_scope(length):
             carry, _ = jax.lax.scan(step, carry, xs_j, length=length)
         return carry
+
+    def scan_out(self, body, carry, xs: dict, length: int):
+        """scan with stacked per-step outputs (lax.scan ys).  The body's y
+        pytree (e.g. a Blocks scalar) must keep constant aux metadata across
+        steps — use declare.  This is the key to small scan carries: the
+        per-position products the engine used to dynamic_update_slice into
+        an O(L^2) carried grid come back as ys instead, so the carry stays
+        O(L) and the grid math runs as ONE post-scan batch."""
+        import jax
+
+        from .. import metrics
+
+        xs_j = {k: jnp.asarray(v) for k, v in xs.items()}
+
+        with metrics.scan_scope(length):
+            carry, ys = jax.lax.scan(body, carry, xs_j, length=length)
+        return carry, ys
 
     def _dyn_slice(self, x: Blocks, start, size: int, axis: int, tail: int):
         from ..torus import U64

@@ -511,8 +511,16 @@ class StringEngine:
     def _split_scan(self, s, pat, ccb, allow, n_enc, reverse: bool,
                     found_pre=None):
         """Shared scan core of _split/_rsplit (split.rs:70-178, 10-68): one
-        backend scan over positions carrying (grid, ccb, stop_inc, ignore,
-        global_found).
+        backend scan over positions carrying (ccb, stop_inc, ignore,
+        global_found) — O(L) state.
+
+        The reference's copy_logic scatters char i into buffer ccb_i inside
+        the loop (split.rs:108-135).  That column depends only on the O(1)
+        counter ccb_i, so the scan EMITS ccb_i per step (scan_out ys) and
+        the whole L x L grid is built afterwards as one batched
+        eq + mul_bit — value-identical, same PBS count, but the scan carry
+        stays O(L) (this is what makes the multi-chip dryrun compile:
+        round 2 carried the full encrypted grid through every step).
 
         Window geometry (the reference's literal quirks, kept bit-for-bit):
         forward scan matches windows ENDING at i with the eq-mask read at
@@ -525,7 +533,6 @@ class StringEngine:
         m = b.shape(pat)[0]
         positions = np.arange(L)
 
-        grid = b.trivial_chars(np.zeros((L, L), np.uint8))
         stop_inc = b.trivial_bits(0)
         ignore = b.trivial_bits(np.ones(L, np.uint8))
         global_found = b.trivial_bits(0)
@@ -546,25 +553,17 @@ class StringEngine:
               "valid": valid_i,
               "win_start": win_start.astype(np.int32)}
 
-        grid = b.declare(grid, 3, 1.0)
         ccb = b.declare(ccb, 3, 1.0)
         stop_inc = b.declare_bits(stop_inc, 1, 1.0)
         ignore = b.declare_bits(ignore, 1, 1.0)
         global_found = b.declare_bits(global_found, 1, 1.0)
 
         def body(carry, x):
-            grid, ccb, stop_inc, ignore, global_found = carry
+            ccb, stop_inc, ignore, global_found = carry
             i = x["i"]
-
-            # copy_logic (split.rs:108-135)
-            onehot = b.eq(buffer_ids, ccb)  # [L]
-            if allow is not None:
-                onehot = b.and_(onehot, allow)
-            s_i = b.dynamic_slice(s, i, 1)  # [1]
-            col = b.mul_bit(b.broadcast_to(b.reshape(s_i, (1,)), (L,)), onehot)
-            col = b.declare(col, 3, 1.0)
-            grid = b.dynamic_update_slice(
-                grid, b.reshape(col, (L, 1)), i, axis=1)
+            # copy_logic reads the PRE-update counter (split.rs:108-135):
+            # char i lands in buffer ccb_i — emitted as this step's y.
+            y = ccb
 
             # pattern matching gated by the public validity of the window
             if found_pre is not None:
@@ -599,13 +598,23 @@ class StringEngine:
                 inc = b.and_(found, b.not_(stop_inc))
                 ccb = b.add_chars(ccb, self._bit_to_char(inc))
 
-            return (b.declare(grid, 3, 1.0), b.declare(ccb, 3, 1.0),
+            return (b.declare(ccb, 3, 1.0),
                     b.declare_bits(stop_inc, 1, 1.0),
                     b.declare_bits(ignore, 1, 1.0),
-                    b.declare_bits(global_found, 1, 1.0))
+                    b.declare_bits(global_found, 1, 1.0)), y
 
-        carry = (grid, ccb, stop_inc, ignore, global_found)
-        grid, ccb, stop_inc, ignore, global_found = b.scan(body, carry, xs, L)
+        carry = (ccb, stop_inc, ignore, global_found)
+        carry, ccb_seq = b.scan_out(body, carry, xs, L)
+        global_found = carry[3]
+
+        # post-scan grid build (one batch): grid[c, p] = s_p * (c == ccb_p)
+        ccb_pos = b.take(ccb_seq, np.argsort(order), axis=0)   # scan -> pos
+        onehot = b.eq(b.reshape(buffer_ids, (L, 1)),
+                      b.reshape(ccb_pos, (1, L)))              # [buf, pos]
+        if allow is not None:
+            onehot = b.and_(onehot, allow)
+        sv = b.broadcast_to(b.reshape(s, (1, L)), (L, L))
+        grid = b.declare(b.mul_bit(sv, onehot), 3, 1.0)
         return grid, global_found
 
     def _rsplit(self, s, pat, is_inclusive: bool, is_terminator: bool, n_enc):
@@ -721,7 +730,6 @@ class StringEngine:
         global_found = b.any_axis(ws, 0)
         buffer_ids = b.trivial_chars(np.arange(L, dtype=np.uint8))
 
-        grid = b.declare(b.trivial_chars(np.zeros((L, L), np.uint8)), 3, 1.0)
         ccb = b.declare(b.trivial_chars(np.uint8(0)), 3, 1.0)
         # prev_ws starts as trivial 1 (word-start latch), later carries the
         # PBS output of is_whitespace.
@@ -730,23 +738,26 @@ class StringEngine:
         not_ws = b.declare_bits(not_ws, 1, 1.0)
 
         def body(carry, x):
-            grid, ccb, prev_ws = carry
+            # O(1) carry; the scan emits the POST-update counter per step
+            # (split.rs:1377-1447 copies char i into the buffer selected
+            # after the word-boundary increment) and the grid is built
+            # afterwards as one batch — see _split_scan.
+            ccb, prev_ws = carry
             i = x["i"]
             ws_i = b.reshape_bits(b.dynamic_slice_bits(ws, i, 1), ())
-            nws_i = b.reshape_bits(b.dynamic_slice_bits(not_ws, i, 1), ())
             should_inc = b.and_(ws_i, b.not_(prev_ws))
-            ccb = b.add_chars(ccb, self._bit_to_char(should_inc))
-            onehot = b.eq(buffer_ids, ccb)
-            copy_flag = b.and_(onehot, nws_i)
-            s_i = b.dynamic_slice(s, i, 1)
-            col = b.mul_bit(b.broadcast_to(b.reshape(s_i, (1,)), (L,)),
-                            copy_flag)
-            grid = b.dynamic_update_slice(
-                grid, b.reshape(col, (L, 1)), i, axis=1)
-            return (b.declare(grid, 3, 1.0), b.declare(ccb, 3, 1.0),
-                    b.declare_bits(ws_i, 1, 1.0))
+            ccb = b.declare(
+                b.add_chars(ccb, self._bit_to_char(should_inc)), 3, 1.0)
+            return (ccb, b.declare_bits(ws_i, 1, 1.0)), ccb
 
         xs = {"i": np.arange(L, dtype=np.int32)}
-        grid, _, _ = b.scan(body, (grid, ccb, prev_ws), xs, L)
+        _, ccb_seq = b.scan_out(body, (ccb, prev_ws), xs, L)
+
+        # grid[c, p] = s_p * (c == ccb_p) * not_ws_p, one batch
+        onehot = b.eq(b.reshape(buffer_ids, (L, 1)),
+                      b.reshape(ccb_seq, (1, L)))            # [buf, pos]
+        copy_flag = b.and_(onehot, b.reshape_bits(not_ws, (1, L)))
+        sv = b.broadcast_to(b.reshape(s, (1, L)), (L, L))
+        grid = b.declare(b.mul_bit(sv, copy_flag), 3, 1.0)
         rows = self.compact_zeros_right(grid, axis=-1)  # batched over rows
         return rows, global_found

@@ -9,15 +9,21 @@ batched PBS calls, and PBS/s/chip is the headline capacity metric
 evaluation passes through (``ShortintContext._pbs_padded``) and exposes:
 
 - a global, always-on counter (negligible overhead: pure Python ints
-  incremented at *trace/dispatch* time, not per device op);
+  incremented at *dispatch* time, not per device op);
 - ``measure(name)``: a context manager that snapshots counters + wall time
   and records a ``MetricsRecord``;
 - ``report()``: a structured summary (dict) suitable for JSON logging.
 
-Because counters tick at trace time, a jit-cached re-execution of an
-already-traced function does not re-count its PBS. For benchmarking,
-count one eager run (the default evaluation mode of the server API) or
-use the analytic per-op cost model in ``benchmarks/``.
+Accuracy: the server API evaluates eagerly (ops dispatch through Python on
+every call), so the default counters are execution-accurate — warm calls
+re-run ``record_pbs`` and count identically to cold calls
+(tests/test_metrics.py::test_warm_counts_match_cold). Inside engine
+``lax.scan`` bodies (traced once, executed `length` times per call) the
+``scan_scope`` multiplier restores per-execution counts. The one remaining
+blind spot is a CALLER-jitted whole method (e.g. ``jax.jit(server.contains)``):
+its cached re-executions skip Python entirely. For measurement runs over
+such code, wrap in ``exec_count_scope()``, which counts at device-execution
+time via ``io_callback`` instead.
 """
 
 from __future__ import annotations
@@ -90,8 +96,44 @@ def scan_scope(length: int):
         _SCAN_MULT = prev
 
 
+# Execution-time counting (see module docstring): when enabled, counts are
+# committed by an ordered io_callback at device-execution time, so they stay
+# correct under caller-side jit caching and need no scan multiplier.
+_EXEC_MODE = False
+
+
+@contextlib.contextmanager
+def exec_count_scope():
+    """Count PBS at EXECUTION time (io_callback) while tracing inside this
+    scope. Use for measurement runs over caller-jitted methods; adds one
+    ordered host callback per PBS dispatch, so keep it out of production
+    serving paths."""
+    global _EXEC_MODE
+    prev = _EXEC_MODE
+    _EXEC_MODE = True
+    try:
+        yield
+    finally:
+        _EXEC_MODE = prev
+
+
+def _exec_commit(n_items, n_padded):
+    GLOBAL.pbs_calls += 1
+    GLOBAL.pbs_items += int(n_items)
+    GLOBAL.pbs_items_padded += int(n_padded)
+
+
 def record_pbs(n_items: int, n_padded: int) -> None:
     """Called by ShortintContext on every batched-PBS dispatch."""
+    if _EXEC_MODE:
+        import numpy as _np
+        from jax.experimental import io_callback
+
+        # ordered=True: a no-output callback would otherwise be dead-code
+        # eliminated; ordering also keeps counts deterministic.
+        io_callback(_exec_commit, None, _np.int64(n_items),
+                    _np.int64(n_padded), ordered=True)
+        return
     GLOBAL.pbs_calls += _SCAN_MULT
     GLOBAL.pbs_items += int(n_items) * _SCAN_MULT
     GLOBAL.pbs_items_padded += int(n_padded) * _SCAN_MULT

@@ -107,6 +107,55 @@ def load_server_key(path: str, with_ntt2: bool | None = None):
 
 
 # ---------------------------------------------------------------------------
+# packed (device-format) server key: the cold-start killer
+# ---------------------------------------------------------------------------
+
+_PACKED_OPTIONAL = ("bsk_ntt", "bsk_ntt2", "bsk_ntt32")
+
+
+def save_packed_server_key(path: str, server_key) -> None:
+    """Persist the DEVICE-format evaluation keys (limb planes + the
+    NTT-domain bootstrap key).  Packing the NTT-domain key is the single
+    biggest server cold-start cost (minutes of host transforms at prod
+    params); a packed checkpoint makes startup a load + device upload.
+    Uncompressed on purpose: load speed is the point."""
+    dk = server_key.backend.sc.keys
+    arrs = dict(
+        version=FORMAT_VERSION,
+        kind="packed_server_key",
+        params=params_to_json(dk.params),
+        bsk_limbs=np.asarray(dk.bsk_limbs),
+        ksk_limbs=np.asarray(dk.ksk_limbs),
+    )
+    for name in _PACKED_OPTIONAL:
+        v = getattr(dk, name)
+        if v is not None:
+            arrs[name] = np.asarray(v)
+    np.savez(path, **arrs)
+
+
+def load_packed_server_key(path: str):
+    """Load a packed server key saved by save_packed_server_key."""
+    import jax.numpy as jnp
+
+    from .crypto.keys import DeviceServerKeys
+    from .server import ServerKey
+
+    data = np.load(path, allow_pickle=False)
+    assert str(data["kind"]) == "packed_server_key", data["kind"]
+    params = params_from_json(str(data["params"]))
+    opt = {name: jnp.asarray(data[name]) for name in _PACKED_OPTIONAL
+           if name in data}
+    dk = DeviceServerKeys(
+        params=params,
+        bsk_limbs=jnp.asarray(data["bsk_limbs"]),
+        ksk_limbs=jnp.asarray(data["ksk_limbs"]),
+        **opt,
+    )
+    return ServerKey(dk, params)
+
+
+# ---------------------------------------------------------------------------
 # ciphertexts
 # ---------------------------------------------------------------------------
 

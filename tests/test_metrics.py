@@ -60,3 +60,37 @@ def test_pbs_counts_identical_cold_vs_warm():
     warm = run_once()
     assert cold == warm, (cold, warm)
     assert cold[0] > 0
+
+
+def test_exec_count_scope_counts_under_caller_jit():
+    """Round-2 verdict item: a CALLER-jitted whole method skips Python on
+    cached re-execution, so default counters tick only at trace time.
+    exec_count_scope commits counts via io_callback at EXECUTION time: a
+    warm (cache-hit) call must count exactly like the cold call."""
+    import jax
+
+    from fhestring_tpu import PARAM_TEST_ZERO_NOISE
+    from fhestring_tpu.client import ClientKey
+
+    ck = ClientKey(PARAM_TEST_ZERO_NOISE, seed=5)
+    srv = ck.get_server_key()
+    s = ck.encrypt("abca", 1)
+    pat = ck.encrypt_no_padding("ca")
+
+    @jax.jit
+    def step(sb, pb):
+        return srv.engine.contains(sb, pb).ct
+
+    def run_once():
+        metrics.reset()
+        with metrics.exec_count_scope():
+            out = step(s.blocks, pat.blocks)
+            jax.block_until_ready(out)
+            np.asarray(out.lo)  # fence any async callbacks
+        return (metrics.GLOBAL.pbs_calls, metrics.GLOBAL.pbs_items,
+                metrics.GLOBAL.pbs_items_padded)
+
+    cold = run_once()
+    warm = run_once()  # jit cache hit: no Python re-trace
+    assert cold == warm, (cold, warm)
+    assert cold[0] > 0 and cold[1] > 0

@@ -53,3 +53,27 @@ def test_ciphertext_roundtrip(tmp_path):
     cpath = str(tmp_path / "char.npz")
     serialize.save_fhe_char(cpath, c)
     assert ck.decrypt_char(serialize.load_fhe_char(cpath)) == 7
+
+
+def test_packed_server_key_roundtrip(tmp_path):
+    """Round-2 verdict item (cold start): the DEVICE-format key checkpoint
+    must restore a working server without re-packing, including the
+    NTT-domain bootstrap key, and get_server_key(cache_path=) must hit it."""
+    from fhestring_tpu import serialize
+    from fhestring_tpu.client import ClientKey
+    from fhestring_tpu.params import PARAM_TEST32_ZERO_NOISE
+
+    ck = ClientKey(PARAM_TEST32_ZERO_NOISE, seed=3)
+    path = str(tmp_path / "packed.npz")
+    srv = ck.get_server_key(with_ntt2=True, cache_path=path)
+    assert srv.backend.sc.keys.bsk_ntt32 is not None
+
+    loaded = serialize.load_packed_server_key(path)
+    assert loaded.params == ck.params
+    assert loaded.backend.sc.keys.bsk_ntt32 is not None
+    s = ck.encrypt("Hi th", 1)
+    assert ck.decrypt(loaded.to_upper(s)) == "HI TH"
+
+    # cache hit path: same file, no re-pack
+    srv2 = ck.get_server_key(cache_path=path)
+    assert ck.decrypt_char(srv2.contains_clear(s, "th")) == 1

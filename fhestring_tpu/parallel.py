@@ -93,6 +93,105 @@ def pbs_batch_sharded(ct, lut_idx, lut_bank, keys, mesh: Mesh,
 
 
 # ---------------------------------------------------------------------------
+# Polynomial-axis-sharded NTT (butterfly-stage all-to-all; SURVEY 2.4 item 3)
+# ---------------------------------------------------------------------------
+
+POLY_AXIS = "poly"
+
+
+def make_poly_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (POLY_AXIS,))
+
+
+def ntt_fwd_poly_sharded(x, n_poly: int, prime: int, mesh: Mesh):
+    """One forward negacyclic NTT with the POLYNOMIAL axis sharded across
+    the mesh — the four-step transform as distributed butterflies:
+
+        stage 1 (block contraction over j2, twist+twiddle folded) is LOCAL
+        on each device's j1 shard; an all_to_all reswizzles the sharded
+        axis from j1 to k2; stage 2 (dense contraction over the now-local
+        full j1) is LOCAL on each device's k2 shard.
+
+    Bit-identical to ntt2.neg_fwd(x, make_neg_plan(prime, n_poly))
+    (tests/test_parallel.py). All modular arithmetic is exact: int8-limb
+    contractions with int32 accumulation + the kernels' fold/Barrett
+    reduction (ntt_ext._modc), so the same code path is TPU-ready.
+
+    When it wins: batch sharding (pbs_batch_sharded) is communication-free
+    and preferred whenever each chip holds >= 1 batch item per step; this
+    path exists for transforms too LARGE for one chip — N beyond single-
+    chip VMEM/HBM (e.g. multi-megabyte CRT-RNS ciphertexts), where the
+    polynomial axis itself must span devices and the inter-stage
+    all_to_all rides ICI. The reference's concrete-fft has no multi-node
+    analog (single process; SURVEY.md section 2.4).
+
+    x: int32 [..., N] centered digits (|x| <= 127, e.g. gadget digits);
+    returns centered int32 hats [..., N] (h = k2*n1 + k1), replicated
+    output gathered from the k2 shards.
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from .crypto import ntt2
+    from .crypto.kernels.ntt_ext import _horner4, _modc, _split2
+
+    plan = ntt2.make_neg_plan(prime, n_poly)
+    n1, n2 = plan.n1, plan.n2
+    nd = mesh.devices.size
+    assert n1 % nd == 0, (n1, nd)
+
+    # stage constants as int8 limb pairs (host, once per (prime, N))
+    def limbs(m):
+        m = np.asarray(m, np.int64)
+        l0 = ((m + 128) % 256) - 128
+        l1 = (m - l0) // 256
+        return (jnp.asarray(l0, jnp.int8), jnp.asarray(l1, jnp.int8))
+
+    mf0, mf1 = limbs(plan.mf)          # [n1(j1), n2(j2), n2(k2)]
+    w10, w11 = limbs(plan.w1[0])       # [n1(j1), n1(k1)]
+
+    def inside(xl, mf0l, mf1l):
+        # xl [..., n2(j2), n1_loc(j1)] — local j1 shard
+        xs = jnp.swapaxes(xl, -1, -2).astype(jnp.int8)   # [.., j1_loc, j2]
+        # stage 1 (local): S[j1, k2] = sum_j2 x[j1, j2] mf[j1][j2, k2]
+        s = (jnp.einsum("...ij,ijk->...ik", xs, mf0l,
+                        preferred_element_type=jnp.int32)
+             + (jnp.einsum("...ij,ijk->...ik", xs, mf1l,
+                           preferred_element_type=jnp.int32) << 8))
+        s = _modc(s, (127 * 128 * n2) * 257, prime)      # centered exact
+        # butterfly-stage all_to_all: reshard j1 -> k2
+        # local [.., j1_loc, n2(k2)] -> [.., n1(j1), n2_loc(k2)]
+        s = jax.lax.all_to_all(s, POLY_AXIS, split_axis=s.ndim - 1,
+                               concat_axis=s.ndim - 2, tiled=True)
+        # stage 2 (local): out[k2_loc, k1] = sum_j1 S[j1, k2_loc] W1[j1, k1]
+        st = jnp.swapaxes(s, -1, -2)                     # [.., k2_loc, j1]
+        z0, z1 = _split2(st)
+        d8 = partial(jnp.einsum, "...kj,jK->...kK",
+                     preferred_element_type=jnp.int32)
+        out, _ = _horner4(d8(z0, w10), d8(z0, w11), d8(z1, w10),
+                          d8(z1, w11), prime, exact=True)
+        return out                                        # [.., k2_loc, n1]
+
+    x2 = x.reshape(x.shape[:-1] + (n2, n1))
+    spec_x = P(*([None] * (x2.ndim - 1) + [POLY_AXIS]))   # shard j1
+    out = shard_map(
+        inside, mesh=mesh,
+        in_specs=(spec_x, P(POLY_AXIS, None, None), P(POLY_AXIS, None, None)),
+        out_specs=P(*([None] * (x2.ndim - 2) + [POLY_AXIS, None])),
+        check_vma=False,
+    )(x2, mf0, mf1)
+    return out.reshape(x.shape[:-1] + (n_poly,))
+
+
+# ---------------------------------------------------------------------------
 # Key-sharded PBS (tensor parallelism over the key axes)
 # ---------------------------------------------------------------------------
 

@@ -96,3 +96,28 @@ def test_keysharded_pbs_matches_unsharded(ctx):
     np.testing.assert_array_equal(got, want)
     for i in range(B):
         assert ref.shortint_decrypt(sk, want[i]) == table[msgs[i]]
+
+
+def test_ntt_fwd_poly_sharded_bit_identical():
+    """Butterfly-stage all-to-all NTT (SURVEY 2.4 item 3): the polynomial
+    axis sharded over the mesh, stage-1 local / all_to_all / stage-2 local,
+    bit-identical to the single-device negacyclic transform."""
+    import jax
+    import numpy as np
+
+    from fhestring_tpu import parallel
+    from fhestring_tpu.crypto import ntt2
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = parallel.make_poly_mesh(n_dev)
+    N, prime = 2048, ntt2.PRIMES3[1]  # 40961
+    assert (N // 128) % n_dev == 0
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-127, 128, size=(3, N)).astype(np.int32)
+
+    plan = ntt2.make_neg_plan(prime, N)
+    want = ntt2.neg_fwd(x.astype(np.int64), plan)
+
+    got = np.asarray(parallel.ntt_fwd_poly_sharded(x, N, prime, mesh))
+    np.testing.assert_array_equal(got, want.astype(np.int32))

@@ -59,9 +59,12 @@ def main():
                        .astype(np.int16))
     consts = pack_fused32_consts(N)
 
+    # result-dependent 4-byte fence (see bench.py sync: a full-array fetch
+    # measures ~0.7 s of tunnel transfer, not kernel time)
+    fence = jax.jit(lambda o: o.ravel()[::4099].astype(jnp.uint32).sum())
+
     def sync(out):
-        jax.block_until_ready(out)
-        np.asarray(out)
+        np.asarray(fence(out))
 
     ablations = [""] + [a for a in args.ablate.split(",") if a]
     for bt in args.btiles:

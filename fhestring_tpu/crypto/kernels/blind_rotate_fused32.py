@@ -173,17 +173,20 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
     bits = (2 * n).bit_length() - 1
 
     # ---- EXACT negacyclic rotation of the single u32 plane ----------------
-    r = hi
-    for k in range(bits):
-        s = 1 << k
-        if s >= n:
-            nr = jnp.zeros_like(r) - r             # rotation by N == negation
-        else:
-            nr = pltpu.roll(r, s, 2)
-            nr = jnp.where(t_iota < s, jnp.zeros_like(nr) - nr, nr)
-        take = ((amt3 >> k) & 1) == 1
-        r = jnp.where(take, nr, r)
-    diff = r - hi                                  # u32 (wraps mod 2^32)
+    if "shear" in ablate:
+        diff = hi + amt3.astype(jnp.uint32)        # ablation: skip rotation
+    else:
+        r = hi
+        for k in range(bits):
+            s = 1 << k
+            if s >= n:
+                nr = jnp.zeros_like(r) - r         # rotation by N == negation
+            else:
+                nr = pltpu.roll(r, s, 2)
+                nr = jnp.where(t_iota < s, jnp.zeros_like(nr) - nr, nr)
+            take = ((amt3 >> k) & 1) == 1
+            r = jnp.where(take, nr, r)
+        diff = r - hi                              # u32 (wraps mod 2^32)
 
     # ---- closest-representable rounding + balanced base-256 digits --------
     # Identical to numpy_ref.decompose on diff << 32 (q_bits=64): the u64
@@ -301,7 +304,7 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                                               "approx", "ablate"))
 def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
                          khat: jnp.ndarray, consts: dict, *, n_poly: int,
-                         base_log: int, ell: int, b_tile: int = 128,
+                         base_log: int, ell: int, b_tile: int = 256,
                          interpret: bool = False, approx: bool = False,
                          ablate: str = "") -> jnp.ndarray:
     """Run the whole 32-bit blind rotation in one kernel.

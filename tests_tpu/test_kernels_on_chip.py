@@ -140,3 +140,97 @@ def test_full_pbs_on_chip(keyed):
     host = torus.to_numpy(out)
     got = [ref.shortint_decrypt(sk, host[i]) for i in range(B)]
     assert got == [table[m] for m in msgs]
+
+
+# ---------------------------------------------------------------------------
+# 32-bit-torus (turbo) kernel tier
+# ---------------------------------------------------------------------------
+
+from fhestring_tpu.crypto.kernels.blind_rotate_fused32 import (  # noqa: E402
+    blind_rotate_fused32, pack_fused32_consts)
+from fhestring_tpu.params import PARAM_TEST32_ZERO_NOISE  # noqa: E402
+
+P32 = PARAM_TEST32_ZERO_NOISE
+
+
+@pytest.fixture(scope="module")
+def keyed32():
+    rng = np.random.default_rng(23)
+    sk, srv = ref.keygen(P32, rng)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=True)
+    return sk, srv, dev
+
+
+def test_fused32_blind_rotation_on_chip(keyed32):
+    """The EXACT 32-bit fused kernel non-interpreted on the chip, bit-exact
+    vs the numpy oracle."""
+    sk, srv, dev = keyed32
+    B, N, kp1 = 64, P32.polynomial_size, P32.glwe_dimension + 1
+    rng = np.random.default_rng(31)
+    acc0 = rng.integers(0, 1 << 32, size=(B, kp1, N),
+                        dtype=np.uint64) << np.uint64(32)
+    lwe = np.zeros((B, P32.lwe_dimension + 1), np.int32)
+    lwe[:, :-1] = rng.integers(0, 2 * N, size=(B, P32.lwe_dimension))
+
+    want = np.stack([
+        ref.blind_rotate(acc0[i], lwe[i].astype(np.int64), srv)
+        for i in range(B)])
+
+    consts = pack_fused32_consts(N)
+    amounts = jnp.asarray(lwe[:, :P32.lwe_dimension])
+    acc = torus.from_numpy(acc0)
+    hi = blind_rotate_fused32(acc.hi, amounts, dev.bsk_ntt32, consts,
+                              n_poly=N, base_log=P32.pbs_base_log,
+                              ell=P32.pbs_level, b_tile=64, interpret=False)
+    got = np.asarray(hi).astype(np.uint64) << np.uint64(32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_pbs32_on_chip(keyed32):
+    """End-to-end pbs_batch on the chip (fused32 path): decrypts table[m]."""
+    sk, srv, dev = keyed32
+    rng = np.random.default_rng(9)
+    B = 64
+    table = [(5 * x + 2) % 16 for x in range(16)]
+    bank = dkeys.pack_luts([table], P32)
+    msgs = rng.integers(0, 16, size=B)
+    cts = np.stack([ref.shortint_encrypt(sk, int(m), rng) for m in msgs])
+    out = dpbs.pbs_batch(torus.from_numpy(cts), np.zeros(B, np.int32),
+                         bank, dev, use_fused=True)
+    host = torus.to_numpy(out)
+    got = [ref.shortint_decrypt(sk, host[i]) for i in range(B)]
+    assert got == [table[m] for m in msgs]
+
+
+def test_fused32_prod_shape_on_chip():
+    """Production polynomial size (N=2048) non-interpreted at small B and a
+    truncated step count: catches Mosaic miscompiles that only appear at
+    the prod tiling (n2=16), without a prod-length compile."""
+    import dataclasses
+
+    from fhestring_tpu.params import PARAM_TURBO
+
+    p = dataclasses.replace(PARAM_TURBO, name="turbo_tier", lwe_dimension=4,
+                            lwe_noise_std=0.0, glwe_noise_std=0.0)
+    rng = np.random.default_rng(41)
+    sk, srv = ref.keygen(p, rng)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=True)
+
+    B, N, kp1 = 8, p.polynomial_size, p.glwe_dimension + 1
+    acc0 = rng.integers(0, 1 << 32, size=(B, kp1, N),
+                        dtype=np.uint64) << np.uint64(32)
+    lwe = np.zeros((B, p.lwe_dimension + 1), np.int32)
+    lwe[:, :-1] = rng.integers(0, 2 * N, size=(B, p.lwe_dimension))
+
+    want = np.stack([
+        ref.blind_rotate(acc0[i], lwe[i].astype(np.int64), srv)
+        for i in range(B)])
+
+    consts = pack_fused32_consts(N)
+    amounts = jnp.asarray(lwe[:, :p.lwe_dimension])
+    acc = torus.from_numpy(acc0)
+    hi = blind_rotate_fused32(acc.hi, amounts, dev.bsk_ntt32, consts,
+                              n_poly=N, base_log=p.pbs_base_log,
+                              ell=p.pbs_level, b_tile=8, interpret=False)
+    got = np.asarray(hi).astype(np.uint64) << np.uint64(32)
+    np.testing.assert_array_equal(got, want)

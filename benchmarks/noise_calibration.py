@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--approx", action="store_true",
                     help="measure the fused kernel's plane-truncated mode "
                          "(adds low-order truncation noise)")
+    ap.add_argument("--pack-units", type=int, default=0,
+                    help="also BOOTSTRAP packs synthesized at ~this many "
+                         "fresh-PBS variance units (4x+y with x a sum of "
+                         "independent bootstrapped zeros) and count decode "
+                         "failures: the empirical check for raising "
+                         "params.noise_budget")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +130,49 @@ def main():
         pexp = (4 * exp[:half] + exp[half:2 * half]) % 16
         pack_errs.append(phase_errors(sk, packed, pexp, params))
 
+    # ---- optional: bootstrap packs at ~pack_units variance -----------------
+    # Synthesize 4x+y with x = fresh(m) + sum of (k-1) independent
+    # bootstrapped zeros: variance 16k + 1 units, plaintext 4m + m2.  Then
+    # BOOTSTRAP the pack — the decode failure this counts is exactly the
+    # event params.noise_budget guards (pack error + keyswitch + modswitch
+    # crossing the half-slot during blind rotation).
+    pack_hi_failures = pack_hi_total = 0
+    pack_hi_errs = []
+    if args.pack_units:
+        k = max(1, round((args.pack_units - 1) / 16))
+        for r in range(max(1, args.n // B)):
+            msgs = rng.integers(0, 4, size=B)
+            m2 = rng.integers(0, 4, size=B)
+            cts = np.stack([ref.shortint_encrypt(sk, int(m), rng)
+                            for m in msgs])
+            zct = np.stack([ref.shortint_encrypt(sk, 0, rng)
+                            for _ in range((k - 1) * B)]) if k > 1 else None
+            y_ct = np.stack([ref.shortint_encrypt(sk, int(m), rng)
+                             for m in m2])
+            allc = np.concatenate([cts, y_ct] + ([zct] if k > 1 else []))
+            boot = torus.to_numpy(dpbs.pbs_batch(
+                torus.from_numpy(allc),
+                np.zeros(len(allc), np.int32), bank, dev,
+                use_fused=on_tpu, use_pallas=False,
+                rounded=args.rounded, approx=args.approx))
+            x = boot[:B]
+            y = boot[B:2 * B]
+            if k > 1:
+                x = x + boot[2 * B:].reshape(k - 1, B, -1).sum(
+                    axis=0, dtype=np.uint64)
+            packed = np.uint64(4) * x + y                    # 16k + 1 units
+            pexp = (4 * msgs + m2) % 16
+            pack_hi_errs.append(phase_errors(sk, packed, pexp, params))
+            out2 = torus.to_numpy(dpbs.pbs_batch(
+                torus.from_numpy(packed), np.zeros(B, np.int32),
+                dkeys.pack_luts([list(range(16))], params), dev,
+                use_fused=on_tpu, use_pallas=False,
+                rounded=args.rounded, approx=args.approx))
+            dec2 = np.array([ref.shortint_decrypt(sk, out2[i])
+                             for i in range(B)])
+            pack_hi_failures += int((dec2 != pexp % 16).sum())
+            pack_hi_total += B
+
     fresh = np.concatenate(fresh_errs)
     pack = np.concatenate(pack_errs)
     var_fresh = float(np.var(fresh))
@@ -148,6 +197,13 @@ def main():
         "budget_var_rel": budget_var,
         "max_noise_var_units_2^-40": max_units,
         "margin_sigma_at_pack": tol / math.sqrt(var_pack) if var_pack else None,
+        **({
+            "pack_units_requested": args.pack_units,
+            "pack_units_measured": (float(np.var(np.concatenate(pack_hi_errs)))
+                                    / var_fresh if var_fresh else None),
+            "pack_hi_bootstraps": pack_hi_total,
+            "pack_hi_decode_failures": pack_hi_failures,
+        } if args.pack_units else {}),
     }))
 
 

@@ -83,8 +83,19 @@ class ClientKey:
             from . import serialize
 
             srv = serialize.load_packed_server_key(cache_path)
-            assert srv.params == self.params, (srv.params, self.params)
-            return srv
+            if srv.params != self.params:
+                raise ValueError(
+                    f"packed-key cache {cache_path!r} was created for "
+                    f"parameter set {srv.params.name!r}, not "
+                    f"{self.params.name!r}")
+            dk = srv.backend.sc.keys
+            ntt_plane = (dk.bsk_ntt32 if self.params.torus_bits == 32
+                         else dk.bsk_ntt2)
+            if not with_ntt2 or ntt_plane is not None:
+                return srv
+            # Cache was packed without the NTT-domain key (e.g. on CPU);
+            # loading it as-is would silently drop the fused kernel path.
+            # Repack with the plane and overwrite the checkpoint.
         srv = ServerKey(
             pack_server_keys(self._server_raw, with_ntt2=with_ntt2),
             self.params)

@@ -646,13 +646,12 @@ class FheBackend:
         """Sum chars along axis when at most one is nonzero: grouped linear
         sums with refresh bootstraps to bound noise."""
         from .. import torus
-        from ..shortint import MAX_NOISE_VAR
         if axis < 0:
             axis = len(self.shape(chars)) + axis
         cur = chars
         while cur.ct.lo.shape[axis] > 1:
             n = cur.ct.lo.shape[axis]
-            g = max(2, min(n, int(MAX_NOISE_VAR // max(cur.noise_var, 1e-9))))
+            g = max(2, min(n, int(self.sc.max_noise_var // max(cur.noise_var, 1e-9))))
             pad = (-n) % g
             ct = cur.ct
             if pad:
@@ -665,13 +664,13 @@ class FheBackend:
             shape[axis:axis + 1] = [shape[axis] // g, g]
             summed = torus.sum_axis(torus.reshape(ct, shape), axis + 1)
             cur = Blocks(summed, 3, cur.noise_var * g)
-            if cur.noise_var * 16 + 2 > MAX_NOISE_VAR and cur.ct.lo.shape[axis] > 1:
+            if cur.noise_var * 16 + 2 > self.sc.max_noise_var and cur.ct.lo.shape[axis] > 1:
                 cur = self.sc.apply_lut(cur, list(range(4)) * 4)
         from ..torus import U64
         lo = jnp.squeeze(cur.ct.lo, axis=axis)
         hi = jnp.squeeze(cur.ct.hi, axis=axis)
         out = Blocks(U64(lo, hi), 3, cur.noise_var)
-        if out.noise_var * 16 + 2 > MAX_NOISE_VAR:
+        if out.noise_var * 16 + 2 > self.sc.max_noise_var:
             out = self.sc.apply_lut(out, list(range(4)) * 4)
         return out
 

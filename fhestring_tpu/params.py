@@ -68,6 +68,23 @@ class CryptoParams:
     # scaling), so the U64 ciphertext representation keeps lo == 0
     # everywhere.
     torus_bits: int = 64
+    # Linear-accumulation noise budget, in fresh-PBS variance units: the
+    # shortint/radix/engine layers keep every ciphertext that can enter a
+    # bootstrap below this variance, refreshing (identity PBS) lazily past
+    # it.  Larger budgets mean wider linear reduction groups and fewer
+    # refresh bootstraps per string method.  The failure event this guards
+    # is the NEXT bootstrap's slot decode, whose input error is
+    #
+    #   sigma_in(V)^2 = V * sigma_fresh^2 + sigma_ks^2 + sigma_modswitch^2
+    #
+    # against the half-slot tolerance 1/(2*full_space) = 2^-6.  The ks and
+    # modswitch terms depend only on (n, ks ladder, N) and DOMINATE at both
+    # production sets (sigma_ks ~ 2^-9.2, sigma_ms = sqrt((n+1)/12)/(2N)
+    # ~ 2^-9.07), so the budget's own contribution is secondary; see the
+    # turbo set below for the measured derivation.  34.0 is the
+    # conservative round-1 default kept for the sets that have no on-device
+    # calibration run recorded in benchmarks/RESULTS.md.
+    noise_budget: float = 34.0
 
     # ---- derived quantities -------------------------------------------------
     @property
@@ -172,6 +189,22 @@ PARAM_MESSAGE_2_CARRY_2_KS_PBS_32 = CryptoParams(
     ks_base_log=3,
     ks_level=5,
     torus_bits=32,
+    # Budget derivation (on-device calibration, benchmarks/
+    # calibration_turbo_r03.json, 16384 bootstraps, exact fused32 kernel):
+    #   sigma_fresh = 5.51e-5 rel (2^-14.15), unit bookkeeping exact to 0.5%.
+    # Bootstrap-input margin model (the quantity that must clear 7.04 sigma
+    # for the two-sided 2^-40 failure target; ks/ms terms from the design
+    # analysis above, sigma_ks ~ 1.7e-3, sigma_ms = sqrt(743/12)/4096
+    # ~ 1.92e-3):
+    #   V = 34  (old): margin = 2^-6 / sigma_in = 7.68 sigma
+    #   V = 192 (new): margin = 7.43 sigma  (p_fail ~ 2^-42.5 per PBS)
+    #   V = 356 would cross the 7.04-sigma line — 192 keeps ~2x variance
+    #   headroom on the budget-controlled term while nearly saturating the
+    #   achievable grouping win (the ks+ms floor dominates regardless).
+    # Client-decode margin at V = 192: 68.6 * sqrt(17.07/192) = 20.5 sigma.
+    # Empirically re-validated at this budget by
+    # benchmarks/noise_calibration.py --pack-units 192 (round 4).
+    noise_budget=192.0,
 )
 
 # TPU turbo alias (the bench.py default path).
@@ -245,6 +278,10 @@ PARAM_TEST32_ZERO_NOISE = CryptoParams(
     ks_base_log=3,
     ks_level=5,
     torus_bits=32,
+    # Mirrors the turbo budget so CI exercises the same wide reduction
+    # groups / refresh thresholds the production set uses (zero noise:
+    # any budget is decode-safe here).
+    noise_budget=192.0,
 )
 
 PARAM_TEST32_STAT = CryptoParams(

@@ -82,9 +82,8 @@ class RadixContext:
 
     def _fresh(self, x: Blocks) -> Blocks:
         """Refresh chars if too noisy to enter a 4x+y pack."""
-        from .shortint import MAX_NOISE_VAR
         sc = self.sc
-        if x.noise_var * 16 + 2 > MAX_NOISE_VAR or x.degree > 3:
+        if x.noise_var * 16 + 2 > sc.max_noise_var or x.degree > 3:
             return sc.apply_lut(x, list(range(4)) * 4)
         return x
 
@@ -154,14 +153,13 @@ class RadixContext:
 
     def _reduce_bits(self, bits: Blocks, axis: int, table_fn, pad_value: int) -> Blocks:
         from . import torus
-        from .shortint import MAX_NOISE_VAR
         sc = self.sc
         cur = bits
         if axis < 0:
             axis = len(cur.shape) + axis
         while cur.shape[axis] > 1:
             n = cur.shape[axis]
-            g = min(n, 15, int(MAX_NOISE_VAR // max(cur.noise_var, 1e-9)) or 1)
+            g = min(n, 15, int(sc.max_noise_var // max(cur.noise_var, 1e-9)) or 1)
             g = max(g, 2)
             pad = (-n) % g
             ct = cur.ct
@@ -201,8 +199,7 @@ class RadixContext:
         return Blocks(torus.add(mx.ct, my.ct), 3, mx.noise_var + my.noise_var)
 
     def _fresh_bit(self, c: Blocks, scale: int) -> Blocks:
-        from .shortint import MAX_NOISE_VAR
-        if c.noise_var * scale * scale + 2 > MAX_NOISE_VAR:
+        if c.noise_var * scale * scale + 2 > self.sc.max_noise_var:
             return self.sc.apply_lut(c, [1 if v >= 1 else 0 for v in range(16)])
         return c
 

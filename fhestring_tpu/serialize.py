@@ -131,7 +131,11 @@ def save_packed_server_key(path: str, server_key) -> None:
         v = getattr(dk, name)
         if v is not None:
             arrs[name] = np.asarray(v)
-    np.savez(path, **arrs)
+    # Write through an open handle: np.savez(path) appends ".npz" when the
+    # path lacks it, which would desync the filename from the existence
+    # check in client.get_server_key (silent repack on every start).
+    with open(path, "wb") as f:
+        np.savez(f, **arrs)
 
 
 def load_packed_server_key(path: str):

@@ -30,22 +30,20 @@ from .params import CryptoParams
 from .torus import U64
 
 # Packing/noise budget: a fresh PBS output has variance 1 unit; tfhe-rs 2_2
-# parameters are dimensioned for the 4x+y pack (16 + 1 = 17 units).  We allow
-# headroom up to 2x the designed pack (to admit 4x+y with var-2 operands from
-# linear select outputs) and refresh lazily beyond it.
+# parameters are dimensioned for the 4x+y pack (16 + 1 = 17 units).
 #
-# Calibrated (benchmarks/noise_calibration.py):
+# The budget is PER PARAMETER SET (params.CryptoParams.noise_budget): sets
+# with an on-device calibration run recorded in benchmarks/RESULTS.md carry
+# a measured budget (turbo: 192 units, derived in params.py from the 16384-
+# bootstrap calibration); uncalibrated sets keep the conservative round-1
+# default below.  Calibration history (benchmarks/noise_calibration.py):
 # - PARAM_TEST_STAT (prod-relative LWE noise, CI dims, 4096 bootstraps):
 #   worst designed pack measures 17.36 fresh-PBS units vs the theoretical
-#   17 — the unit bookkeeping below matches measurement within 2%. The
-#   margin at that CI set (13.5 sigma) is WIDER than production's (small
-#   n/N keep absolute blind-rotation noise low); it validates the unit
-#   accounting, not the production budget.
-# - Production margins are measured ON DEVICE at the production parameter
-#   sets (--params prod / turbo, >= 16k bootstraps); the recorded runs in
-#   benchmarks/RESULTS.md confirm the margin at the designed pack exceeds
-#   the 7.04-sigma two-sided 2^-40 target with MAX_NOISE_VAR = 34.
-MAX_NOISE_VAR = 34.0
+#   17 — the unit bookkeeping matches measurement within 2%.
+# - PARAM_TURBO on device (16384 bootstraps): sigma_fresh = 2^-14.15
+#   matching the design analysis; pack 4x+y = 17.07 units; zero decode
+#   failures; budget-192 margin model in params.py.
+MAX_NOISE_VAR = 34.0  # default for sets without a calibrated noise_budget
 MAX_DEGREE = 15
 
 
@@ -106,6 +104,10 @@ class ShortintContext:
     def __init__(self, keys: DeviceServerKeys):
         self.keys = keys
         self.params: CryptoParams = keys.params
+        # Per-set linear-noise budget (fresh-PBS variance units); see
+        # params.CryptoParams.noise_budget for the derivation.
+        self.max_noise_var: float = getattr(
+            keys.params, "noise_budget", MAX_NOISE_VAR)
         self._lut_cache: dict[tuple, torus.U64] = {}
 
     # -- constructors -------------------------------------------------------
@@ -244,7 +246,7 @@ class ShortintContext:
     def apply_lut(self, a: Blocks, table) -> Blocks:
         """Univariate LUT via one batched PBS. table: 16 ints in [0, 16)."""
         table = tuple(int(v) % 16 for v in table)
-        assert a.noise_var <= MAX_NOISE_VAR
+        assert a.noise_var <= self.max_noise_var
         bank = self._bank_for((table,))
         shape = a.shape
         flat = torus.reshape(a.ct, (-1, a.ct.lo.shape[-1]))
@@ -256,7 +258,7 @@ class ShortintContext:
     def apply_lut_multi(self, a: Blocks, tables, table_idx: jnp.ndarray) -> Blocks:
         """Per-element LUT selection: tables [L][16], table_idx int32 a.shape."""
         tables = tuple(tuple(int(v) % 16 for v in t) for t in tables)
-        assert a.noise_var <= MAX_NOISE_VAR
+        assert a.noise_var <= self.max_noise_var
         bank = self._bank_for(tables)
         shape = a.shape
         flat = torus.reshape(a.ct, (-1, a.ct.lo.shape[-1]))
@@ -279,6 +281,6 @@ class ShortintContext:
         return self.apply_lut(a, list(range(4)) * 4)
 
     def maybe_refresh(self, a: Blocks, incoming_var: float) -> Blocks:
-        if a.noise_var + incoming_var > MAX_NOISE_VAR:
+        if a.noise_var + incoming_var > self.max_noise_var:
             return self.refresh(a)
         return a

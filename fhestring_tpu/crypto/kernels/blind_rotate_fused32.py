@@ -167,8 +167,14 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
     def _():
         acc_s[...] = acc0_ref[...]
 
-    hi = acc_s[...]                                # [bt, kp1, N] u32
-    amt3 = amt_ref[...].reshape(bt, 1, 1).astype(jnp.int32)
+    # Accumulator layout [kp1, bt, N]: the minor two dims (bt, N) fill whole
+    # (8, 128) int32 tiles, so the per-step VPU stages below (shear,
+    # decompose, accumulate) run at full occupancy.  The previous
+    # [bt, kp1, N] layout put kp1 = 2 on the sublane dim (2 of 8 sublanes
+    # live) and quadrupled the shear stage's cost — measured 33% of the
+    # whole kernel in round 3 (benchmarks/RESULTS.md).
+    hi = acc_s[...]                                # [kp1, bt, N] u32
+    amt3 = amt_ref[...].reshape(1, bt, 1).astype(jnp.int32)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 2)
     bits = (2 * n).bit_length() - 1
 
@@ -204,12 +210,12 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
         state = state + carry.astype(jnp.uint32)
         digs[lev] = d
 
-    # ---- rows (r*ell + lev), T1-transposed, straight to int8 --------------
+    # ---- rows (r*ell + lev), T1-transposed, int8 before the relayout ------
     xts = []
     for rr in range(kp1):
         for lev in range(ell):
-            x3 = digs[lev][:, rr, :].reshape(C, LANE, LANE)
-            xts.append(jnp.swapaxes(x3, 1, 2).astype(jnp.int8))
+            x3 = digs[lev][rr].reshape(C, LANE, LANE).astype(jnp.int8)
+            xts.append(jnp.swapaxes(x3, 1, 2))
     A = jnp.concatenate(xts, axis=0).reshape(num_r * C * LANE, LANE)
 
     for pi, p in enumerate(PRIMES2):
@@ -292,11 +298,11 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
             ext = w if ext is None else ext + w
         # packed [C, j1, (b8, j2)] -> natural [bt, N]
         nat = jnp.swapaxes(ext, 1, 2).reshape(bt, n)
-        acc_s[:, jout, :] = acc_s[:, jout, :] + nat
+        acc_s[jout] = acc_s[jout] + nat
 
     @pl.when(j == n_steps - 1)
     def _():
-        out_ref[...] = acc_s[...].reshape(bt, kp1 * n)
+        out_ref[...] = acc_s[...]
 
 
 @functools.partial(jax.jit, static_argnames=("n_poly", "base_log", "ell",
@@ -337,13 +343,18 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
     s0 = 1 if approx else 0
     NS = NUM_LB32 - s0
     kshape = khat.shape
+    # [B, kp1, N] -> [kp1, B, N] once per call: the kernel's accumulator and
+    # every per-step VPU stage then live on full (8, 128) tiles (see the
+    # kernel's layout note).  XLA pays two whole-batch relayouts per PBS
+    # call, amortized over all n_steps grid steps.
+    acc_t = jnp.transpose(acc_hi, (1, 0, 2))
     out = pl.pallas_call(
         functools.partial(_fused32_kernel, n=n, bt=bt, num_r=num_r, ell=ell,
                           kp1=kp1, n_steps=n_steps, base_log=base_log,
                           s0=s0, ablate=ablate),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, kp1, n), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((kp1, bt, n), lambda b, j: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt, 1), lambda b, j: (j, b, 0),
                          memory_space=pltpu.VMEM),
@@ -358,11 +369,11 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
             pl.BlockSpec(consts["wblki"].shape, lambda b, j: (0,) * 4,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, kp1 * n), lambda b, j: (b, 0),
+        out_specs=pl.BlockSpec((kp1, bt, n), lambda b, j: (0, b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, kp1 * n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((kp1, B, n), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((bt, kp1, n), jnp.uint32),                   # acc
+            pltpu.VMEM((kp1, bt, n), jnp.uint32),                   # acc
             pltpu.VMEM((num_r, C, LANE, LANE), jnp.int32),          # dhat
             pltpu.VMEM((kp1 * NS * C, LANE, LANE), jnp.int32),      # work
             pltpu.VMEM((2, kp1, NS, C, LANE, LANE), jnp.int32),     # res
@@ -371,7 +382,7 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(acc_hi,
+    )(acc_t,
       jnp.transpose(amounts.astype(jnp.int32))[:, :, None], khat,
       consts["wblkf"], consts["w1f"], consts["w1i"], consts["wblki"])
-    return out.reshape(B, kp1, n)
+    return jnp.transpose(out, (1, 0, 2))

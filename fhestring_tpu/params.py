@@ -164,6 +164,12 @@ PARAM_PROD = PARAM_MESSAGE_2_CARRY_2_KS_PBS_64
 #   only requires sigma/q >= ~2^-51.7 (the tfhe-rs prod value); 2^-32 is
 #   ~2^19 MORE noise, i.e. a strictly larger security margin.  The larger
 #   BSK noise is absorbed by a deeper gadget ladder (below).
+#   Committed estimate: docs/security_estimate.py (primal-uSVP core-SVP,
+#   Bai-Galbraith small-secret scaling) gives BKZ block size beta = 626 at
+#   the discretized sigma_abs = 1 (603 at an attacker-favoring 0.5) vs
+#   beta = 356/337 for the two vetted-128-bit tfhe-rs anchor instances;
+#   the sub-3.2-sigma discretization and Arora-Ge/BKW sample-supply
+#   analysis are addressed in docs/SECURITY.md.
 # - PBS gadget base_log=8, level=3 (covers 24 of 32 torus bits):
 #   decomposition-error std ~2^-15.5 rel, BSK-noise term std ~2^-14.2 rel —
 #   both negligible against the keyswitch (~2^-9.2) and modswitch (~2^-10)

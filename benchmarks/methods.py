@@ -51,8 +51,19 @@ def main():
     enable_compile_cache()
 
     t0 = time.time()
-    client = ClientKey(cli.PARAM_SETS[args.params], seed=0)
-    server = client.get_server_key()
+    params = cli.PARAM_SETS[args.params]
+    client = ClientKey(params, seed=0)
+    if args.params in ("prod", "turbo"):
+        # Production sets: reuse bench.py's raw-key cache and keep a packed
+        # (NTT-domain) checkpoint so reruns skip the minutes-long packing.
+        import bench
+
+        sk, srv_raw = bench.get_keys(params)
+        client.secret, client._server_raw = sk, srv_raw
+        cache = os.path.join(bench.CACHE_DIR, f"packed_{params.name}.npz")
+        server = client.get_server_key(cache_path=cache)
+    else:
+        server = client.get_server_key()
     print(f"# keygen {time.time() - t0:.1f}s", file=sys.stderr)
 
     methods = args.methods or cli.METHODS

@@ -133,23 +133,23 @@ def pack_fused32_consts(n: int):
 
 def _crt2_u32(v1, v2):
     """Exact 2-prime CRT: centered int32 residues (mod 40961, mod 61441) ->
-    the centered integer (|W| < M2/2 guaranteed by range analysis), reduced
-    mod 2^32 as uint32 (Garner; all intermediates fit u32/int32)."""
+    the centered integer W (|W| < max_plane_value << M2/2 by range
+    analysis), as uint32 (two's-complement wrap encodes negatives).
+
+    Centered Garner, no normalization or final centering select needed:
+    with x2c any near-centered representative of (v2 - v1) * P1^{-1}
+    (mod P2), the candidate v1 + P1*x2c is congruent to W mod M2 and
+    bounded by ~0.51*M2 + P1/2, while W + M2*k for k != 0 has magnitude
+    >= M2 - max_plane > 0.92*M2 — so the candidate IS W exactly, in int32
+    (|W| < 2.01e8 < 2^31 at turbo shapes; asserted by the wrapper via
+    max_plane_value). All products fit int32:
+    |t| <= (P1 + P2)/2 < 2^15.7, |INV_c| <= P2/2 < 2^14.9."""
     P1, P2 = PRIMES2
-    x1 = v1 + jnp.where(v1 < 0, np.int32(P1), 0)           # [0, P1)
-    t = v2 - x1                                            # > -(P2/2 + P1)
-    t = t + jnp.where(t < 0, np.int32(P2), 0)
-    t = t + jnp.where(t < 0, np.int32(P2), 0)              # [0, P2)
-    pr = t.astype(jnp.uint32) * np.uint32(_INV_P1_P2)      # < P2^2 < 2^32
-    kf, cf = _FOLDS[P2]
-    v = ((pr >> kf).astype(jnp.int32) * np.int32(cf)
-         + (pr & np.uint32((1 << kf) - 1)).astype(jnp.int32))
-    x2 = _modc(v, (P2 * P2 >> kf) * cf + (1 << kf), P2)
-    x2 = x2 + jnp.where(x2 < 0, np.int32(P2), 0)           # [0, P2)
-    cu = x1.astype(jnp.uint32) + np.uint32(P1) * x2.astype(jnp.uint32)
-    over = cu > np.uint32(M2 // 2)
-    # centered value mod 2^32 (u32 wrap-around encodes the negatives)
-    return jnp.where(over, cu - np.uint32(M2), cu)
+    inv_c = _center(np.array(_INV_P1_P2), P2)              # centered rep
+    t = v2 - v1
+    x2c, _ = _modc_f(t * np.int32(inv_c), 51201 * 30720, P2)
+    w = v1 + np.int32(P1) * x2c                            # == W exactly
+    return w.astype(jnp.uint32)
 
 
 def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
@@ -218,12 +218,15 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
             xts.append(jnp.swapaxes(x3, 1, 2))
     A = jnp.concatenate(xts, axis=0).reshape(num_r * C * LANE, LANE)
 
-    for pi, p in enumerate(PRIMES2):
-        # ---- forward -------------------------------------------------------
+    # Per-prime chains with INDEPENDENT scratch (dhat_ref/work_ref carry a
+    # leading prime dim): the two chains share no buffers until the CRT, so
+    # the scheduler is free to overlap one prime's MXU transform stages
+    # with the other's VPU pointwise/reduction stages.
+    def fwd(pi, p):
         db = 0
         if "fwd" in ablate:
             db = 128
-            dhat_ref[...] = A.astype(jnp.int32).reshape(num_r, C, LANE, LANE)
+            dhat_ref[pi] = A.astype(jnp.int32).reshape(num_r, C, LANE, LANE)
         else:
             s_raw = (_dot8(A, wblkf_ref[pi, 0]).astype(jnp.int32)
                      + (_dot8(A, wblkf_ref[pi, 1]) << 8))
@@ -241,49 +244,56 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                                 (1 << 22) + (1 << 29), p)
                 dv, db = _modc_f(_dot8(a0, wl[0]) + (t << 8),
                                  (1 << 21) + (tb << 8), p)
-                dhat_ref[:, :, rows, :] = dv.reshape(num_r, C, nb, LANE)
+                dhat_ref[pi, :, :, rows, :] = dv.reshape(num_r, C, nb, LANE)
+        return db
 
-        # ---- pointwise: one plane per key byte-limb s = lb -----------------
+    def pointwise(pi, p, db):
         if "pw" in ablate:
-            uall = jnp.broadcast_to(
-                dhat_ref[0][None], (kp1 * NS, C, LANE, LANE)
+            return jnp.broadcast_to(
+                dhat_ref[pi, 0][None], (kp1 * NS, C, LANE, LANE)
             ).astype(jnp.int32) & 0x7FFF
-        else:
-            uhats = []
-            pb = db * ((p - 1) // 2)
-            for jout in range(kp1):
-                for s_pl in range(s0, NUM_LB32):
-                    acc = _Acc(p)
-                    for i in range(num_r):
-                        kh = khat_ref[0, pi, i, jout, s_pl].astype(jnp.int32)
-                        kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
-                        kt = kt.reshape(LANE, LANE)  # rows (k2, b8)
-                        acc.add(dhat_ref[i] * kt[None], pb)
-                    u, ub = acc.fast()
-                    uhats.append(u)                  # [C, (k2,b8), k1]
-            uall = jnp.stack(uhats)                  # [kp1*NS, C, .., ..]
+        uhats = []
+        pb = db * ((p - 1) // 2)
+        for jout in range(kp1):
+            for s_pl in range(s0, NUM_LB32):
+                acc = _Acc(p)
+                for i in range(num_r):
+                    kh = khat_ref[0, pi, i, jout, s_pl].astype(jnp.int32)
+                    kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
+                    kt = kt.reshape(LANE, LANE)  # rows (k2, b8)
+                    acc.add(dhat_ref[pi, i] * kt[None], pb)
+                u, ub = acc.fast()
+                uhats.append(u)                  # [C, (k2,b8), k1]
+        return jnp.stack(uhats)                  # [kp1*NS, C, .., ..]
 
-        # ---- inverse --------------------------------------------------------
+    def inverse(pi, p, uall):
         if "inv" in ablate:
             res_ref[pi] = uall.reshape(kp1, NS, C, LANE, LANE)
-        else:
-            u0, u1 = _split2(uall)
-            for kk in range(n2):
-                rows = slice(kk * nb, (kk + 1) * nb)
-                a0 = u0[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
-                a1 = u1[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
-                wl = w1i_ref[pi, kk]
-                t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
-                                + (_dot8(a1, wl[1]) << 8),
-                                (1 << 22) + (1 << 29), p)
-                qv, qb = _modc_f(_dot8(a0, wl[0]) + (t << 8),
-                                 (1 << 21) + (tb << 8), p)
-                work_ref[:, rows, :] = qv.reshape(kp1 * NS * C, nb, LANE)
-            qt = jnp.swapaxes(work_ref[...], 1, 2)   # rows j1, lanes (k2,b8)
-            res, _ = _stage_dots(
-                qt.reshape(kp1 * NS * C * LANE, LANE),
-                wblki_ref[pi], p, exact=True)
-            res_ref[pi] = res.reshape(kp1, NS, C, LANE, LANE)
+            return
+        u0, u1 = _split2(uall)
+        for kk in range(n2):
+            rows = slice(kk * nb, (kk + 1) * nb)
+            a0 = u0[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
+            a1 = u1[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
+            wl = w1i_ref[pi, kk]
+            t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
+                            + (_dot8(a1, wl[1]) << 8),
+                            (1 << 22) + (1 << 29), p)
+            qv, qb = _modc_f(_dot8(a0, wl[0]) + (t << 8),
+                             (1 << 21) + (tb << 8), p)
+            work_ref[pi, :, rows, :] = qv.reshape(kp1 * NS * C, nb, LANE)
+        qt = jnp.swapaxes(work_ref[pi], 1, 2)    # rows j1, lanes (k2,b8)
+        res, _ = _stage_dots(
+            qt.reshape(kp1 * NS * C * LANE, LANE),
+            wblki_ref[pi], p, exact=True)
+        res_ref[pi] = res.reshape(kp1, NS, C, LANE, LANE)
+
+    db0 = fwd(0, PRIMES2[0])
+    db1 = fwd(1, PRIMES2[1])
+    u0 = pointwise(0, PRIMES2[0], db0)
+    inverse(0, PRIMES2[0], u0)
+    u1 = pointwise(1, PRIMES2[1], db1)
+    inverse(1, PRIMES2[1], u1)
 
     # ---- 2-prime CRT per plane + u32 recombine + accumulate ----------------
     for jout in range(kp1):
@@ -310,7 +320,7 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                                               "approx", "ablate"))
 def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
                          khat: jnp.ndarray, consts: dict, *, n_poly: int,
-                         base_log: int, ell: int, b_tile: int = 256,
+                         base_log: int, ell: int, b_tile: int = 128,
                          interpret: bool = False, approx: bool = False,
                          ablate: str = "") -> jnp.ndarray:
     """Run the whole 32-bit blind rotation in one kernel.
@@ -330,7 +340,9 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
     num_r = khat.shape[2]
     assert num_r == kp1 * ell and khat.shape[4] == NUM_LB32
     assert base_log == 8, "32-bit kernel assumes single-int8-limb digits"
-    assert max_plane_value(num_r, n) < M2 // 2
+    # 0.49: headroom for the centered-Garner CRT's ~0.507*M2 candidate
+    # bound (see _crt2_u32); the turbo shapes sit at 0.08*M2.
+    assert max_plane_value(num_r, n) < int(0.49 * M2)
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     bt = min(b_tile, B)
@@ -374,8 +386,8 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((kp1, B, n), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((kp1, bt, n), jnp.uint32),                   # acc
-            pltpu.VMEM((num_r, C, LANE, LANE), jnp.int32),          # dhat
-            pltpu.VMEM((kp1 * NS * C, LANE, LANE), jnp.int32),      # work
+            pltpu.VMEM((2, num_r, C, LANE, LANE), jnp.int32),       # dhat
+            pltpu.VMEM((2, kp1 * NS * C, LANE, LANE), jnp.int32),   # work
             pltpu.VMEM((2, kp1, NS, C, LANE, LANE), jnp.int32),     # res
         ],
         compiler_params=pltpu.CompilerParams(

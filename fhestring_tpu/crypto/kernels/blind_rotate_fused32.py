@@ -100,8 +100,9 @@ def pack_fused32_consts(n: int):
             * pw(w, n1 * j2[:, None] * k2[None, :]) % p        # [j2, k2]
         blk = np.zeros((LANE, LANE), np.int64)
         for b in range(nb):
-            # in-col b*n2 + j2  ->  out-col k2*nb + b
-            blk[b * n2:(b + 1) * n2, b::nb] = w2f
+            # in-col j2*nb + b8 (the PACKED accumulator's lane order)
+            # -> out-col k2*nb + b8
+            blk[b::nb, b::nb] = w2f
         wblkf.append(_limbs8(_center(blk, p)))
 
         tw_f = pw(psi, j1[:, None] + 0 * k2[None, :]) \
@@ -122,8 +123,9 @@ def pack_fused32_consts(n: int):
             * pw(wi, n1 * j2[None, :] * k2[:, None]) % p       # [k2, j2]
         blk = np.zeros((LANE, LANE), np.int64)
         for b in range(nb):
-            # in-col k2*nb + b  ->  out-col b*n2 + j2
-            blk[b::nb, b * n2:(b + 1) * n2] = w2i
+            # in-col k2*nb + b8  ->  out-col j2*nb + b8 (packed acc order:
+            # the inverse transform lands DIRECTLY in accumulator layout)
+            blk[b::nb, b::nb] = w2i
         wblki.append(_limbs8(_center(blk, p)))
 
     as_j = lambda x: jnp.asarray(np.stack(x))
@@ -167,15 +169,20 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
     def _():
         acc_s[...] = acc0_ref[...]
 
-    # Accumulator layout [kp1, bt, N]: the minor two dims (bt, N) fill whole
-    # (8, 128) int32 tiles, so the per-step VPU stages below (shear,
-    # decompose, accumulate) run at full occupancy.  The previous
-    # [bt, kp1, N] layout put kp1 = 2 on the sublane dim (2 of 8 sublanes
-    # live) and quadrupled the shear stage's cost — measured 33% of the
-    # whole kernel in round 3 (benchmarks/RESULTS.md).
-    hi = acc_s[...]                                # [kp1, bt, N] u32
-    amt3 = amt_ref[...].reshape(1, bt, 1).astype(jnp.int32)
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 2)
+    # PACKED accumulator layout [kp1, C, j1, (j2, b8)]: coefficient
+    # t = j2*n1 + j1 of item b lives at chunk c = b // nb, sublane j1,
+    # lane j2*nb + (b % nb).  This is exactly the NTT pipeline's row/lane
+    # layout, so the digit rows feed stage 1 with NO T1 transpose and the
+    # inverse blockdiag (out-cols re-permuted at pack time) lands straight
+    # back in accumulator layout — the per-step relayouts of the natural-
+    # order design (6 int8 + 2 u32 [C,128,128] transposes) disappear.  The
+    # negacyclic rotation decomposes as sublane rolls (t mod n1) + lane
+    # rolls by multiples of nb (the j2 digit), each with a carry/sign fix.
+    # Minor dims fill whole (8, 128) int32 tiles (full VPU occupancy).
+    hi = acc_s[...]                                # [kp1, C, n1, LANE] u32
+    amt3 = amt_ref[...].reshape(1, C, 1, LANE).astype(jnp.int32)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 2)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 3)
     bits = (2 * n).bit_length() - 1
 
     # ---- EXACT negacyclic rotation of the single u32 plane ----------------
@@ -187,9 +194,19 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
             s = 1 << k
             if s >= n:
                 nr = jnp.zeros_like(r) - r         # rotation by N == negation
-            else:
+            elif s < n1:
+                # j1 += s (sublane roll); wrapped rows carry into j2 (+nb
+                # lane roll); rows that wrapped past N (j2 -> 0) negate.
                 nr = pltpu.roll(r, s, 2)
-                nr = jnp.where(t_iota < s, jnp.zeros_like(nr) - nr, nr)
+                carried = row_i < s
+                nr = jnp.where(carried, pltpu.roll(nr, nb, 3), nr)
+                sign = carried & (lane_i < nb)
+                nr = jnp.where(sign, jnp.zeros_like(nr) - nr, nr)
+            else:
+                # j2 += s/n1: lane roll by nb*(s/n1); wrapped lanes negate.
+                sh = nb * (s // n1)
+                nr = pltpu.roll(r, sh, 3)
+                nr = jnp.where(lane_i < sh, jnp.zeros_like(nr) - nr, nr)
             take = ((amt3 >> k) & 1) == 1
             r = jnp.where(take, nr, r)
         diff = r - hi                              # u32 (wraps mod 2^32)
@@ -210,12 +227,11 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
         state = state + carry.astype(jnp.uint32)
         digs[lev] = d
 
-    # ---- rows (r*ell + lev), T1-transposed, int8 before the relayout ------
+    # ---- rows (r*ell + lev): already in stage-1 layout, just cast ---------
     xts = []
     for rr in range(kp1):
         for lev in range(ell):
-            x3 = digs[lev][rr].reshape(C, LANE, LANE).astype(jnp.int8)
-            xts.append(jnp.swapaxes(x3, 1, 2))
+            xts.append(digs[lev][rr].astype(jnp.int8))
     A = jnp.concatenate(xts, axis=0).reshape(num_r * C * LANE, LANE)
 
     # Per-prime chains with INDEPENDENT scratch (dhat_ref/work_ref carry a
@@ -296,6 +312,8 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
     inverse(1, PRIMES2[1], u1)
 
     # ---- 2-prime CRT per plane + u32 recombine + accumulate ----------------
+    # res is already in packed accumulator layout [C, j1, (j2, b8)]: the
+    # accumulate is a plain add, no output relayout.
     for jout in range(kp1):
         ext = None
         for si in range(NS):
@@ -306,9 +324,7 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                 cu = _crt2_u32(res_ref[0, jout, si], res_ref[1, jout, si])
             w = (cu << np.uint32(8 * s_pl)) if s_pl else cu
             ext = w if ext is None else ext + w
-        # packed [C, j1, (b8, j2)] -> natural [bt, N]
-        nat = jnp.swapaxes(ext, 1, 2).reshape(bt, n)
-        acc_s[jout] = acc_s[jout] + nat
+        acc_s[jout] = acc_s[jout] + ext
 
     @pl.when(j == n_steps - 1)
     def _():
@@ -355,20 +371,28 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
     s0 = 1 if approx else 0
     NS = NUM_LB32 - s0
     kshape = khat.shape
-    # [B, kp1, N] -> [kp1, B, N] once per call: the kernel's accumulator and
-    # every per-step VPU stage then live on full (8, 128) tiles (see the
-    # kernel's layout note).  XLA pays two whole-batch relayouts per PBS
-    # call, amortized over all n_steps grid steps.
-    acc_t = jnp.transpose(acc_hi, (1, 0, 2))
+    CT = B * n // (LANE * LANE)  # total packed chunks
+    # Natural [B, kp1, N] -> packed [kp1, C_total, j1, (j2, b8)] once per
+    # call (see the kernel's layout note); XLA pays two whole-batch
+    # relayouts per PBS call, amortized over all n_steps grid steps.
+    acc_p = jnp.transpose(
+        acc_hi.reshape(B // nb, nb, kp1, n2, n1), (2, 0, 4, 3, 1)
+    ).reshape(kp1, CT, n1, LANE)
+    # Per-item rotation amounts in packed lane order: lane j2*nb + b8
+    # carries item b = c*nb + b8 (j2-invariant).
+    amt_p = jnp.broadcast_to(
+        jnp.transpose(amounts.astype(jnp.int32)).reshape(
+            n_steps, B // nb, 1, 1, nb),
+        (n_steps, B // nb, 1, n2, nb)).reshape(n_steps, B // nb, 1, LANE)
     out = pl.pallas_call(
         functools.partial(_fused32_kernel, n=n, bt=bt, num_r=num_r, ell=ell,
                           kp1=kp1, n_steps=n_steps, base_log=base_log,
                           s0=s0, ablate=ablate),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((kp1, bt, n), lambda b, j: (0, b, 0),
+            pl.BlockSpec((kp1, C, n1, LANE), lambda b, j: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, 1), lambda b, j: (j, b, 0),
+            pl.BlockSpec((1, C, 1, LANE), lambda b, j: (j, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + kshape[1:], lambda b, j: (j,) + (0,) * 6,
                          memory_space=pltpu.VMEM),
@@ -381,11 +405,11 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
             pl.BlockSpec(consts["wblki"].shape, lambda b, j: (0,) * 4,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((kp1, bt, n), lambda b, j: (0, b, 0),
+        out_specs=pl.BlockSpec((kp1, C, n1, LANE), lambda b, j: (0, b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((kp1, B, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((kp1, CT, n1, LANE), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((kp1, bt, n), jnp.uint32),                   # acc
+            pltpu.VMEM((kp1, C, n1, LANE), jnp.uint32),             # acc
             pltpu.VMEM((2, num_r, C, LANE, LANE), jnp.int32),       # dhat
             pltpu.VMEM((2, kp1 * NS * C, LANE, LANE), jnp.int32),   # work
             pltpu.VMEM((2, kp1, NS, C, LANE, LANE), jnp.int32),     # res
@@ -394,7 +418,9 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(acc_t,
-      jnp.transpose(amounts.astype(jnp.int32))[:, :, None], khat,
+    )(acc_p, amt_p, khat,
       consts["wblkf"], consts["w1f"], consts["w1i"], consts["wblki"])
-    return jnp.transpose(out, (1, 0, 2))
+    # packed -> natural
+    return jnp.transpose(
+        out.reshape(kp1, B // nb, n1, n2, nb), (1, 4, 0, 3, 2)
+    ).reshape(B, kp1, n)

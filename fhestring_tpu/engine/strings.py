@@ -385,31 +385,27 @@ class StringEngine:
             # per output position the LAST firing i wins; resolve per diagonal
             # d = k descending (equals ascending i for fixed position).
             for d in range(f - 1, -1, -1):
-                # positions p = i + d for i in [0, W)
-                cols = np.arange(W) + d
-                valid = cols < L
-                cols = cols[valid]
-                if len(cols) == 0:
+                # positions p = i + d for i in [0, W): a CONTIGUOUS range
+                # [d, min(d + W, L)) — the update is one three-part splice
+                # (O(1) graph nodes per diagonal), not a per-position
+                # rebuild (the round-3 version concatenated L parts per
+                # diagonal: O(f*L) graph nodes per replace).
+                hi = min(d + W, L)
+                if hi <= d:
                     continue
-                flag_sel = b.take(flags, np.nonzero(valid)[0], axis=0)
-                to_d = b.take(to_padded, np.full(len(cols), d), axis=0)
-                cur = b.take(result, cols, axis=0)
+                idx = np.arange(hi - d)
+                flag_sel = b.take(flags, idx, axis=0)
+                to_d = b.take(to_padded, np.full(hi - d, d), axis=0)
+                cur = b.take(result, idx + d, axis=0)
                 new = b.select(flag_sel, to_d, cur)
-                result = self._scatter_positions(result, cols, new)
+                parts = []
+                if d > 0:
+                    parts.append(b.take(result, np.arange(d), axis=0))
+                parts.append(new)
+                if hi < L:
+                    parts.append(b.take(result, np.arange(hi, L), axis=0))
+                result = b.concat(parts, axis=0)
         return self.compact_zeros_right(result)
-
-    def _scatter_positions(self, s, positions, new_vals):
-        """Rebuild s with new values at the given (static) positions."""
-        b = self.b
-        L = b.shape(s)[0]
-        pos_map = {int(p): i for i, p in enumerate(positions)}
-        parts = []
-        for p in range(L):
-            if p in pos_map:
-                parts.append(b.take(new_vals, np.array([pos_map[p]]), axis=0))
-            else:
-                parts.append(b.take(s, np.array([p]), axis=0))
-        return b.concat(parts, axis=0)
 
     def _handle_shorter_from(self, s, frm, to, n_enc):
         """from.len < to.len (mod.rs:885-980): inherently sequential —

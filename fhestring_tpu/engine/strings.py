@@ -78,14 +78,25 @@ class StringEngine:
         nz = b.ne_zero(s)                            # [.., L]
         rank = b.cumsum_bits(nz, len(shape) - 1)     # [.., L] inclusive
         rank2 = b.reshape(rank, batch + (L, 1))
-        targets = b.trivial_chars(
-            np.arange(1, L + 1, dtype=np.uint8).reshape(
-                (1,) * len(batch) + (1, L)))
-        onehot = b.eq(rank2, targets)                # [.., L, L]: rank_i==j+1
-        masked = b.and_(onehot, b.reshape_bits(nz, batch + (L, 1)))
-        vals = b.mul_bit(b.broadcast_to(b.reshape(s, batch + (L, 1)),
-                                        batch + (L, L)), masked)
-        return b.sum_onehot_chars(vals, axis=len(batch))
+        # Process the TARGET axis in blocks: the [.., L, L] one-hot grid's
+        # masked-value tensor is [.., L, L, NB, kN+1] — ~2.4 GB of device
+        # ciphertexts at L ~ 192 (repeat's buffer), which exhausted TPU HBM
+        # when materialized whole. Blocking the j axis caps the live grid
+        # at L*JB rows with identical PBS counts and semantics.
+        JB = L if int(np.prod(batch, dtype=np.int64)) * L * L <= 4096 \
+            else max(1, 4096 // L)
+        outs = []
+        for j0 in range(0, L, JB):
+            jb = min(JB, L - j0)
+            targets = b.trivial_chars(
+                np.arange(j0 + 1, j0 + jb + 1, dtype=np.uint8).reshape(
+                    (1,) * len(batch) + (1, jb)))
+            onehot = b.eq(rank2, targets)            # [.., L, jb]: rank_i==j+1
+            masked = b.and_(onehot, b.reshape_bits(nz, batch + (L, 1)))
+            vals = b.mul_bit(b.broadcast_to(b.reshape(s, batch + (L, 1)),
+                                            batch + (L, jb)), masked)
+            outs.append(b.sum_onehot_chars(vals, axis=len(batch)))
+        return outs[0] if len(outs) == 1 else b.concat(outs, axis=len(batch))
 
     # ------------------------------------------------------------------
     # predicates (reference src/server_key/mod.rs)

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--btiles", type=int, nargs="*", default=[128])
     ap.add_argument("--approx", action="store_true")
+    ap.add_argument("--halves", action="store_true",
+                    help="half-tile interleaved variant (also cross-checks "
+                         "bit-identity vs the stage-major kernel)")
     ap.add_argument("--ablate", default="",
                     help="comma-separated ablate strings to also sweep "
                          "(fwd, pw, inv, crt)")
@@ -66,6 +69,21 @@ def main():
     def sync(out):
         np.asarray(fence(out))
 
+    if args.halves:
+        # bit-identity check vs the stage-major kernel on a small batch
+        small = 128
+        a = blind_rotate_fused32(
+            acc_hi[:small], amounts[:small], khat, consts, n_poly=N,
+            base_log=p.pbs_base_log, ell=p.pbs_level, b_tile=128,
+            approx=args.approx, halves=False)
+        b = blind_rotate_fused32(
+            acc_hi[:small], amounts[:small], khat, consts, n_poly=N,
+            base_log=p.pbs_base_log, ell=p.pbs_level, b_tile=128,
+            approx=args.approx, halves=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            "halves kernel diverges from stage-major kernel"
+        print("# halves == stage-major: bit-identical", file=sys.stderr)
+
     ablations = [""] + [a for a in args.ablate.split(",") if a]
     for bt in args.btiles:
         for ab in ablations:
@@ -73,8 +91,8 @@ def main():
                 return blind_rotate_fused32(
                     acc_hi, amounts, khat, consts, n_poly=N,
                     base_log=p.pbs_base_log, ell=p.pbs_level, b_tile=bt,
-                    approx=args.approx, ablate=ab)
-            tag = f"turbo{('-' + ab) if ab else ''}"
+                    approx=args.approx, halves=args.halves, ablate=ab)
+            tag = f"turbo{('-' + ab) if ab else ''}{'-hv' if args.halves else ''}"
             t0 = time.time()
             sync(run())
             print(f"# {tag} bt={bt}: first call (incl. compile) "

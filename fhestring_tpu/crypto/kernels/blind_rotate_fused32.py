@@ -134,36 +134,43 @@ def pack_fused32_consts(n: int):
 
 
 def _crt2_u32(v1, v2):
-    """Exact 2-prime CRT: centered int32 residues (mod 40961, mod 61441) ->
-    the centered integer W (|W| < max_plane_value << M2/2 by range
-    analysis), as uint32 (two's-complement wrap encodes negatives).
+    """Exact 2-prime CRT: NEAR-centered int32 residues (|v_i| <= ~0.51*p_i,
+    straight off _modc_f — no exact-centering pass needed) -> the centered
+    integer W (|W| < max_plane_value << M2/2 by range analysis), as uint32
+    (two's-complement wrap encodes negatives).
 
     Centered Garner, no normalization or final centering select needed:
     with x2c any near-centered representative of (v2 - v1) * P1^{-1}
     (mod P2), the candidate v1 + P1*x2c is congruent to W mod M2 and
-    bounded by ~0.51*M2 + P1/2, while W + M2*k for k != 0 has magnitude
-    >= M2 - max_plane > 0.92*M2 — so the candidate IS W exactly, in int32
-    (|W| < 2.01e8 < 2^31 at turbo shapes; asserted by the wrapper via
-    max_plane_value). All products fit int32:
-    |t| <= (P1 + P2)/2 < 2^15.7, |INV_c| <= P2/2 < 2^14.9."""
+    bounded by 0.51*P1 + P1*(0.5063*P2 + 2) < 1.275e9 = 0.507*M2, while
+    W + M2*k for k != 0 has magnitude >= M2 - 0.49*M2 = 1.283e9 — so the
+    candidate IS W exactly, in int32 (the wrapper asserts
+    max_plane_value < 0.49*M2). All products fit int32:
+    |t| <= 0.51*(P1 + P2) <= 52226, |INV_c| <= P2/2 < 2^14.9,
+    |t*INV_c| <= 1.605e9 < 2^31 - 3*P2."""
     P1, P2 = PRIMES2
     inv_c = _center(np.array(_INV_P1_P2), P2)              # centered rep
     t = v2 - v1
-    x2c, _ = _modc_f(t * np.int32(inv_c), 51201 * 30720, P2)
+    x2c, _ = _modc_f(t * np.int32(inv_c), 52226 * 30720, P2)
     w = v1 + np.int32(P1) * x2c                            # == W exactly
     return w.astype(jnp.uint32)
 
 
 def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
-                    w1i_ref, wblki_ref, out_ref,
-                    acc_s, dhat_ref, work_ref, res_ref, *,
+                    w1i_ref, wblki_ref, out_ref, acc_s, *scr,
                     n: int, bt: int, num_r: int, ell: int, kp1: int,
-                    n_steps: int, base_log: int, s0: int, ablate: str = ""):
+                    n_steps: int, base_log: int, s0: int, halves: bool,
+                    ablate: str = ""):
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     C = bt * n // (LANE * LANE)
     NS = NUM_LB32 - s0
     j = pl.program_id(1)
+    # scratch refs: one (dhat, work, res) triple per (prime, half) chain
+    n_chains = 4 if halves else 2
+    dhat_r = scr[0:n_chains]
+    work_r = scr[n_chains:2 * n_chains]
+    res_r = scr[2 * n_chains:3 * n_chains]
 
     @pl.when(j == 0)
     def _():
@@ -179,94 +186,99 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
     # negacyclic rotation decomposes as sublane rolls (t mod n1) + lane
     # rolls by multiples of nb (the j2 digit), each with a carry/sign fix.
     # Minor dims fill whole (8, 128) int32 tiles (full VPU occupancy).
-    hi = acc_s[...]                                # [kp1, C, n1, LANE] u32
-    amt3 = amt_ref[...].reshape(1, C, 1, LANE).astype(jnp.int32)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 2)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 3)
     bits = (2 * n).bit_length() - 1
 
-    # ---- EXACT negacyclic rotation of the single u32 plane ----------------
-    if "shear" in ablate:
-        diff = hi + amt3.astype(jnp.uint32)        # ablation: skip rotation
-    else:
-        r = hi
-        for k in range(bits):
-            s = 1 << k
-            if s >= n:
-                nr = jnp.zeros_like(r) - r         # rotation by N == negation
-            elif s < n1:
-                # j1 += s (sublane roll); wrapped rows carry into j2 (+nb
-                # lane roll); rows that wrapped past N (j2 -> 0) negate.
-                nr = pltpu.roll(r, s, 2)
-                carried = row_i < s
-                nr = jnp.where(carried, pltpu.roll(nr, nb, 3), nr)
-                sign = carried & (lane_i < nb)
-                nr = jnp.where(sign, jnp.zeros_like(nr) - nr, nr)
-            else:
-                # j2 += s/n1: lane roll by nb*(s/n1); wrapped lanes negate.
-                sh = nb * (s // n1)
-                nr = pltpu.roll(r, sh, 3)
-                nr = jnp.where(lane_i < sh, jnp.zeros_like(nr) - nr, nr)
-            take = ((amt3 >> k) & 1) == 1
-            r = jnp.where(take, nr, r)
-        diff = r - hi                              # u32 (wraps mod 2^32)
+    def front(cs, nc):
+        """Shear + decompose chunk-slice cs (nc chunks) -> int8 digit rows."""
+        hi = acc_s[:, cs]                          # [kp1, nc, n1, LANE] u32
+        amt3 = amt_ref[0, cs].reshape(1, nc, 1, LANE).astype(jnp.int32)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 2)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 3)
 
-    # ---- closest-representable rounding + balanced base-256 digits --------
-    # Identical to numpy_ref.decompose on diff << 32 (q_bits=64): the u64
-    # shift 64 - base_log*ell lands entirely inside this u32 plane.
-    sh32 = 32 - base_log * ell
-    assert sh32 > 0 and base_log == 8
-    state = (diff >> jnp.uint32(sh32)) + ((diff >> jnp.uint32(sh32 - 1))
-                                          & jnp.uint32(1))
-    digs = [None] * ell
-    for lev in range(ell - 1, -1, -1):             # least-significant first
-        d = (state & jnp.uint32(255)).astype(jnp.int32)
-        state = state >> jnp.uint32(8)
-        carry = (d >= 128).astype(jnp.int32)
-        d = d - (carry << 8)                       # in [-128, 127]
-        state = state + carry.astype(jnp.uint32)
-        digs[lev] = d
+        # ---- EXACT negacyclic rotation of the single u32 plane ------------
+        if "shear" in ablate:
+            diff = hi + amt3.astype(jnp.uint32)    # ablation: skip rotation
+        else:
+            r = hi
+            for k in range(bits):
+                s = 1 << k
+                if s >= n:
+                    nr = jnp.zeros_like(r) - r     # rotation by N == negation
+                elif s < n1:
+                    # j1 += s (sublane roll); wrapped rows carry into j2 (+nb
+                    # lane roll); rows that wrapped past N (j2 -> 0) negate.
+                    nr = pltpu.roll(r, s, 2)
+                    carried = row_i < s
+                    nr = jnp.where(carried, pltpu.roll(nr, nb, 3), nr)
+                    sign = carried & (lane_i < nb)
+                    nr = jnp.where(sign, jnp.zeros_like(nr) - nr, nr)
+                else:
+                    # j2 += s/n1: lane roll by nb*(s/n1); wrapped lanes negate
+                    sh = nb * (s // n1)
+                    nr = pltpu.roll(r, sh, 3)
+                    nr = jnp.where(lane_i < sh, jnp.zeros_like(nr) - nr, nr)
+                take = ((amt3 >> k) & 1) == 1
+                r = jnp.where(take, nr, r)
+            diff = r - hi                          # u32 (wraps mod 2^32)
 
-    # ---- rows (r*ell + lev): already in stage-1 layout, just cast ---------
-    xts = []
-    for rr in range(kp1):
-        for lev in range(ell):
-            xts.append(digs[lev][rr].astype(jnp.int8))
-    A = jnp.concatenate(xts, axis=0).reshape(num_r * C * LANE, LANE)
+        # ---- closest-representable rounding + balanced base-256 digits ----
+        # Identical to numpy_ref.decompose on diff << 32 (q_bits=64): the u64
+        # shift 64 - base_log*ell lands entirely inside this u32 plane.
+        sh32 = 32 - base_log * ell
+        assert sh32 > 0 and base_log == 8
+        state = (diff >> jnp.uint32(sh32)) + ((diff >> jnp.uint32(sh32 - 1))
+                                              & jnp.uint32(1))
+        digs = [None] * ell
+        for lev in range(ell - 1, -1, -1):         # least-significant first
+            d = (state & jnp.uint32(255)).astype(jnp.int32)
+            state = state >> jnp.uint32(8)
+            carry = (d >= 128).astype(jnp.int32)
+            d = d - (carry << 8)                   # in [-128, 127]
+            state = state + carry.astype(jnp.uint32)
+            digs[lev] = d
 
-    # Per-prime chains with INDEPENDENT scratch (dhat_ref/work_ref carry a
-    # leading prime dim): the two chains share no buffers until the CRT, so
-    # the scheduler is free to overlap one prime's MXU transform stages
-    # with the other's VPU pointwise/reduction stages.
-    def fwd(pi, p):
+        # rows (r*ell + lev): already in stage-1 layout, just cast
+        xts = []
+        for rr in range(kp1):
+            for lev in range(ell):
+                xts.append(digs[lev][rr].astype(jnp.int8))
+        return jnp.concatenate(xts, axis=0).reshape(num_r * nc * LANE, LANE)
+
+    # Per-(prime, half) chains with INDEPENDENT scratch REFS (physically
+    # distinct buffers, not slices of one ref): no two chains share a Ref
+    # until the CRT, so neither the Mosaic scheduler nor the hardware
+    # scoreboard sees a false dependency between one chain's scratch stores
+    # and another's loads — one chain's MXU transform stages can drain while
+    # another's VPU pointwise/CRT work runs.
+    def fwd(pi, p, dhat_ref, nc, A):
         db = 0
         if "fwd" in ablate:
             db = 128
-            dhat_ref[pi] = A.astype(jnp.int32).reshape(num_r, C, LANE, LANE)
+            dhat_ref[...] = A.astype(jnp.int32).reshape(num_r, nc, LANE, LANE)
         else:
             s_raw = (_dot8(A, wblkf_ref[pi, 0]).astype(jnp.int32)
                      + (_dot8(A, wblkf_ref[pi, 1]) << 8))
             sv, sb = _modc_f(s_raw, (1 << 21) + (1 << 29), p)
-            sv = sv.reshape(num_r * C, LANE, LANE)  # rows j1, lanes (k2, b8)
+            sv = sv.reshape(num_r * nc, LANE, LANE)  # rows j1, lanes (k2, b8)
             stv = jnp.swapaxes(sv, 1, 2)            # rows (k2, b8), lanes j1
             z0, z1 = _split2(stv)
             for kk in range(n2):
                 rows = slice(kk * nb, (kk + 1) * nb)
-                a0 = z0[:, rows, :].reshape(num_r * C * nb, LANE)
-                a1 = z1[:, rows, :].reshape(num_r * C * nb, LANE)
+                a0 = z0[:, rows, :].reshape(num_r * nc * nb, LANE)
+                a1 = z1[:, rows, :].reshape(num_r * nc * nb, LANE)
                 wl = w1f_ref[pi, kk]
                 t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
                                 + (_dot8(a1, wl[1]) << 8),
                                 (1 << 22) + (1 << 29), p)
                 dv, db = _modc_f(_dot8(a0, wl[0]) + (t << 8),
                                  (1 << 21) + (tb << 8), p)
-                dhat_ref[pi, :, :, rows, :] = dv.reshape(num_r, C, nb, LANE)
+                dhat_ref[:, :, rows, :] = dv.reshape(num_r, nc, nb, LANE)
         return db
 
-    def pointwise(pi, p, db):
+    def pointwise(pi, p, db, dhat_ref, nc):
         if "pw" in ablate:
             return jnp.broadcast_to(
-                dhat_ref[pi, 0][None], (kp1 * NS, C, LANE, LANE)
+                dhat_ref[0][None], (kp1 * NS, nc, LANE, LANE)
             ).astype(jnp.int32) & 0x7FFF
         uhats = []
         pb = db * ((p - 1) // 2)
@@ -277,54 +289,107 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                     kh = khat_ref[0, pi, i, jout, s_pl].astype(jnp.int32)
                     kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
                     kt = kt.reshape(LANE, LANE)  # rows (k2, b8)
-                    acc.add(dhat_ref[pi, i] * kt[None], pb)
+                    acc.add(dhat_ref[i] * kt[None], pb)
                 u, ub = acc.fast()
-                uhats.append(u)                  # [C, (k2,b8), k1]
-        return jnp.stack(uhats)                  # [kp1*NS, C, .., ..]
+                uhats.append(u)                  # [nc, (k2,b8), k1]
+        return jnp.stack(uhats)                  # [kp1*NS, nc, .., ..]
 
-    def inverse(pi, p, uall):
+    def inverse(pi, p, uall, work_ref, res_ref, nc):
         if "inv" in ablate:
-            res_ref[pi] = uall.reshape(kp1, NS, C, LANE, LANE)
+            res_ref[...] = uall.reshape(kp1, NS, nc, LANE, LANE)
             return
         u0, u1 = _split2(uall)
         for kk in range(n2):
             rows = slice(kk * nb, (kk + 1) * nb)
-            a0 = u0[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
-            a1 = u1[:, :, rows, :].reshape(kp1 * NS * C * nb, LANE)
+            a0 = u0[:, :, rows, :].reshape(kp1 * NS * nc * nb, LANE)
+            a1 = u1[:, :, rows, :].reshape(kp1 * NS * nc * nb, LANE)
             wl = w1i_ref[pi, kk]
             t, tb = _modc_f(_dot8(a0, wl[1]) + _dot8(a1, wl[0])
                             + (_dot8(a1, wl[1]) << 8),
                             (1 << 22) + (1 << 29), p)
             qv, qb = _modc_f(_dot8(a0, wl[0]) + (t << 8),
                              (1 << 21) + (tb << 8), p)
-            work_ref[pi, :, rows, :] = qv.reshape(kp1 * NS * C, nb, LANE)
-        qt = jnp.swapaxes(work_ref[pi], 1, 2)    # rows j1, lanes (k2,b8)
+            work_ref[:, rows, :] = qv.reshape(kp1 * NS * nc, nb, LANE)
+        qt = jnp.swapaxes(work_ref[...], 1, 2)   # rows j1, lanes (k2,b8)
+        # Near-centered (|.| <= 0.51p) is all _crt2_u32 needs — skip the
+        # exact-centering select pass of exact=True on this largest tensor.
         res, _ = _stage_dots(
-            qt.reshape(kp1 * NS * C * LANE, LANE),
-            wblki_ref[pi], p, exact=True)
-        res_ref[pi] = res.reshape(kp1, NS, C, LANE, LANE)
+            qt.reshape(kp1 * NS * nc * LANE, LANE),
+            wblki_ref[pi], p, exact=False)
+        res_ref[...] = res.reshape(kp1, NS, nc, LANE, LANE)
 
-    db0 = fwd(0, PRIMES2[0])
-    db1 = fwd(1, PRIMES2[1])
-    u0 = pointwise(0, PRIMES2[0], db0)
-    inverse(0, PRIMES2[0], u0)
-    u1 = pointwise(1, PRIMES2[1], db1)
-    inverse(1, PRIMES2[1], u1)
+    def crt_accum(res0_ref, res1_ref, cs):
+        # ---- 2-prime CRT + u32 recombine + accumulate ---------------------
+        # res is already in packed accumulator layout [nc, j1, (j2, b8)]:
+        # the accumulate is a plain add, no output relayout.  Two pass cuts
+        # vs the naive per-plane loop: (a) the Garner quotient x2c for ALL
+        # kp1*NS planes runs as ONE big-tensor chain (same element count,
+        # 1/8 the op launches); (b) by the exact integer identity
+        #   sum_s (v0_s + P1*x2c_s) << 8s
+        #     == (sum_s v0_s << 8s) + P1 * (sum_s x2c_s << 8s)   (mod 2^32)
+        # the P1-multiply hoists out of the plane loop (one multiply per
+        # jout instead of per plane); u32 wraparound encodes the negatives.
+        # Each v0_s + P1*x2c_s equals the plane's exact integer W_s by the
+        # centered-Garner uniqueness argument in _crt2_u32's docstring.
+        P1c, P2c = PRIMES2
+        if "crt" in ablate:
+            for jout in range(kp1):
+                ext = None
+                for si in range(NS):
+                    cu = res0_ref[jout, si].astype(jnp.uint32)
+                    w = (cu << np.uint32(8 * (s0 + si))) if (s0 + si) else cu
+                    ext = w if ext is None else ext + w
+                acc_s[jout, cs] = acc_s[jout, cs] + ext
+            return
+        inv_c = _center(np.array(_INV_P1_P2), P2c)
+        v0 = res0_ref[...]                       # [kp1, NS, nc, L, L] int32
+        t = res1_ref[...] - v0
+        x2c, _ = _modc_f(t * np.int32(inv_c), 52226 * 30720, P2c)
+        v0u, x2u = v0.astype(jnp.uint32), x2c.astype(jnp.uint32)
+        for jout in range(kp1):
+            sv = sx = None
+            for si in range(NS):
+                s_pl = s0 + si
+                w0 = (v0u[jout, si] << np.uint32(8 * s_pl)) if s_pl \
+                    else v0u[jout, si]
+                w2 = (x2u[jout, si] << np.uint32(8 * s_pl)) if s_pl \
+                    else x2u[jout, si]
+                sv = w0 if sv is None else sv + w0
+                sx = w2 if sx is None else sx + w2
+            acc_s[jout, cs] = acc_s[jout, cs] + sv + np.uint32(P1c) * sx
 
-    # ---- 2-prime CRT per plane + u32 recombine + accumulate ----------------
-    # res is already in packed accumulator layout [C, j1, (j2, b8)]: the
-    # accumulate is a plain add, no output relayout.
-    for jout in range(kp1):
-        ext = None
-        for si in range(NS):
-            s_pl = s0 + si
-            if "crt" in ablate:
-                cu = res_ref[0, jout, si].astype(jnp.uint32)
-            else:
-                cu = _crt2_u32(res_ref[0, jout, si], res_ref[1, jout, si])
-            w = (cu << np.uint32(8 * s_pl)) if s_pl else cu
-            ext = w if ext is None else ext + w
-        acc_s[jout] = acc_s[jout] + ext
+    P0, P1 = PRIMES2
+    if not halves:
+        A = front(slice(0, C), C)
+        db0 = fwd(0, P0, dhat_r[0], C, A)
+        db1 = fwd(1, P1, dhat_r[1], C, A)
+        u0 = pointwise(0, P0, db0, dhat_r[0], C)
+        inverse(0, P0, u0, work_r[0], res_r[0], C)
+        u1 = pointwise(1, P1, db1, dhat_r[1], C)
+        inverse(1, P1, u1, work_r[1], res_r[1], C)
+        crt_accum(res_r[0], res_r[1], slice(0, C))
+    else:
+        # Two independent half-tiles software-pipelined in program order so
+        # every VPU stage sits between MXU stages it does not depend on
+        # (chain index = prime * 2 + half).
+        CH = C // 2
+        H0, H1 = slice(0, CH), slice(CH, C)
+        A0 = front(H0, CH)                               # VPU
+        db00 = fwd(0, P0, dhat_r[0], CH, A0)             # MXU
+        A1 = front(H1, CH)                               # VPU
+        db10 = fwd(1, P1, dhat_r[2], CH, A0)             # MXU
+        u00 = pointwise(0, P0, db00, dhat_r[0], CH)      # VPU
+        db01 = fwd(0, P0, dhat_r[1], CH, A1)             # MXU
+        inverse(0, P0, u00, work_r[0], res_r[0], CH)     # MXU
+        u10 = pointwise(1, P1, db10, dhat_r[2], CH)      # VPU
+        db11 = fwd(1, P1, dhat_r[3], CH, A1)             # MXU
+        inverse(1, P1, u10, work_r[2], res_r[2], CH)     # MXU
+        u01 = pointwise(0, P0, db01, dhat_r[1], CH)      # VPU
+        inverse(0, P0, u01, work_r[1], res_r[1], CH)     # MXU
+        crt_accum(res_r[0], res_r[2], H0)                # VPU
+        u11 = pointwise(1, P1, db11, dhat_r[3], CH)      # VPU
+        inverse(1, P1, u11, work_r[3], res_r[3], CH)     # MXU
+        crt_accum(res_r[1], res_r[3], H1)                # VPU (exposed tail)
 
     @pl.when(j == n_steps - 1)
     def _():
@@ -333,11 +398,12 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_poly", "base_log", "ell",
                                               "b_tile", "interpret",
-                                              "approx", "ablate"))
+                                              "approx", "halves", "ablate"))
 def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
                          khat: jnp.ndarray, consts: dict, *, n_poly: int,
                          base_log: int, ell: int, b_tile: int = 128,
                          interpret: bool = False, approx: bool = False,
+                         halves: bool = False,
                          ablate: str = "") -> jnp.ndarray:
     """Run the whole 32-bit blind rotation in one kernel.
 
@@ -345,7 +411,10 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
             test poly; the u64 lo plane is identically zero in turbo mode);
     amounts: int32 [B, n_steps] per-step rotation amounts in [0, 2N);
     khat: int16 [n_steps, 2, R, kp1, 4, n2, n1] (keys.pack_bsk_ntt32);
-    consts: from pack_fused32_consts(n_poly).
+    consts: from pack_fused32_consts(n_poly);
+    halves: split each batch tile into two independent half-tiles and
+            interleave their stages in program order (MXU/VPU overlap
+            experiment; bit-identical output).
 
     Returns u32 [B, kp1, N]: the final accumulator hi plane, bit-identical
     to numpy_ref.blind_rotate's hi limb (approx=True: min_shift=5 oracle).
@@ -367,6 +436,8 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
     assert bt >= nb, (B, b_tile, nb)
     C = bt * n // (LANE * LANE)
     grid = (B // bt, n_steps)
+    if halves and C % 2:
+        halves = False  # tile too small to split
 
     s0 = 1 if approx else 0
     NS = NUM_LB32 - s0
@@ -384,10 +455,12 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
         jnp.transpose(amounts.astype(jnp.int32)).reshape(
             n_steps, B // nb, 1, 1, nb),
         (n_steps, B // nb, 1, n2, nb)).reshape(n_steps, B // nb, 1, LANE)
+    CC = C // 2 if halves else C          # chunks per (prime, half) chain
+    n_chains = 4 if halves else 2
     out = pl.pallas_call(
         functools.partial(_fused32_kernel, n=n, bt=bt, num_r=num_r, ell=ell,
                           kp1=kp1, n_steps=n_steps, base_log=base_log,
-                          s0=s0, ablate=ablate),
+                          s0=s0, halves=halves, ablate=ablate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kp1, C, n1, LANE), lambda b, j: (0, b, 0, 0),
@@ -408,12 +481,15 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
         out_specs=pl.BlockSpec((kp1, C, n1, LANE), lambda b, j: (0, b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((kp1, CT, n1, LANE), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((kp1, C, n1, LANE), jnp.uint32),             # acc
-            pltpu.VMEM((2, num_r, C, LANE, LANE), jnp.int32),       # dhat
-            pltpu.VMEM((2, kp1 * NS * C, LANE, LANE), jnp.int32),   # work
-            pltpu.VMEM((2, kp1, NS, C, LANE, LANE), jnp.int32),     # res
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((kp1, C, n1, LANE), jnp.uint32)]            # acc
+            + [pltpu.VMEM((num_r, CC, LANE, LANE), jnp.int32)       # dhat
+               for _ in range(n_chains)]
+            + [pltpu.VMEM((kp1 * NS * CC, LANE, LANE), jnp.int32)   # work
+               for _ in range(n_chains)]
+            + [pltpu.VMEM((kp1, NS, CC, LANE, LANE), jnp.int32)     # res
+               for _ in range(n_chains)]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),

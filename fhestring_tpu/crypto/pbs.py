@@ -518,10 +518,13 @@ def blind_rotate(acc: U64, lwe_2n: jnp.ndarray, keys: DeviceServerKeys,
             ahi = jnp.pad(ahi, ((0, bp - B), (0, 0), (0, 0)))
             amounts = jnp.pad(amounts, ((0, bp - B), (0, 0)))
         consts = _fused32_consts_cached(N)
+        # b_tile=256 + half-tile interleave: measured best on v5e (the
+        # wrapper clamps the tile and falls back to stage-major for tiles
+        # too small to split; output is bit-identical either way).
         hi = blind_rotate_fused32(ahi, amounts, keys.bsk_ntt32, consts,
                                   n_poly=N, base_log=p.pbs_base_log,
-                                  ell=p.pbs_level, interpret=interpret,
-                                  approx=approx)
+                                  ell=p.pbs_level, b_tile=256, halves=True,
+                                  interpret=interpret, approx=approx)
         return U64(jnp.zeros((B,) + hi.shape[1:], jnp.uint32), hi[:B])
 
     if use_fused:

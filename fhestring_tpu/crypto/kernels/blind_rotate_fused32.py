@@ -133,27 +133,13 @@ def pack_fused32_consts(n: int):
             "wblki": as_j(wblki)}
 
 
-def _crt2_u32(v1, v2):
-    """Exact 2-prime CRT: NEAR-centered int32 residues (|v_i| <= ~0.51*p_i,
-    straight off _modc_f — no exact-centering pass needed) -> the centered
-    integer W (|W| < max_plane_value << M2/2 by range analysis), as uint32
-    (two's-complement wrap encodes negatives).
-
-    Centered Garner, no normalization or final centering select needed:
-    with x2c any near-centered representative of (v2 - v1) * P1^{-1}
-    (mod P2), the candidate v1 + P1*x2c is congruent to W mod M2 and
-    bounded by 0.51*P1 + P1*(0.5063*P2 + 2) < 1.275e9 = 0.507*M2, while
-    W + M2*k for k != 0 has magnitude >= M2 - 0.49*M2 = 1.283e9 — so the
-    candidate IS W exactly, in int32 (the wrapper asserts
-    max_plane_value < 0.49*M2). All products fit int32:
-    |t| <= 0.51*(P1 + P2) <= 52226, |INV_c| <= P2/2 < 2^14.9,
-    |t*INV_c| <= 1.605e9 < 2^31 - 3*P2."""
-    P1, P2 = PRIMES2
-    inv_c = _center(np.array(_INV_P1_P2), P2)              # centered rep
-    t = v2 - v1
-    x2c, _ = _modc_f(t * np.int32(inv_c), 52226 * 30720, P2)
-    w = v1 + np.int32(P1) * x2c                            # == W exactly
-    return w.astype(jnp.uint32)
+# Bound fed to _modc_f for the Garner quotient t * INV_c in crt_accum:
+# |t| = |v2 - v1| <= 0.51*(P1 + P2) <= 52226 and |INV_c| <= P2/2 < 30720,
+# so |t*INV_c| <= 1.605e9 < 2^31 - 3*P2 (int32-safe).  Valid ONLY for the
+# non-ablated inverse output: _stage_dots(exact=False) returns |.| <=
+# ~0.5001p, but acc.fast() under the "inv" ablation can emit up to ~0.5125p
+# — the ablations are non-exact diagnostics and never feed this path.
+CRT_T_BOUND = 52226 * 30720
 
 
 def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
@@ -330,7 +316,15 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
         # the P1-multiply hoists out of the plane loop (one multiply per
         # jout instead of per plane); u32 wraparound encodes the negatives.
         # Each v0_s + P1*x2c_s equals the plane's exact integer W_s by the
-        # centered-Garner uniqueness argument in _crt2_u32's docstring.
+        # centered-Garner uniqueness argument: res holds NEAR-centered
+        # residues straight off _modc_f (|v_i| <= ~0.51*p_i, no exact-
+        # centering pass needed), and with x2c any near-centered
+        # representative of (v2 - v1) * P1^{-1} (mod P2), the candidate
+        # v1 + P1*x2c is congruent to W_s mod M2 and bounded by
+        # 0.51*P1 + P1*(0.5063*P2 + 2) < 1.275e9 = 0.507*M2, while
+        # W_s + M2*k for k != 0 has magnitude >= M2 - 0.49*M2 = 1.283e9 —
+        # so the candidate IS W_s exactly, in int32 (the wrapper asserts
+        # max_plane_value < 0.49*M2).  |t*INV_c| <= CRT_T_BOUND fits int32.
         P1c, P2c = PRIMES2
         if "crt" in ablate:
             for jout in range(kp1):
@@ -344,7 +338,7 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
         inv_c = _center(np.array(_INV_P1_P2), P2c)
         v0 = res0_ref[...]                       # [kp1, NS, nc, L, L] int32
         t = res1_ref[...] - v0
-        x2c, _ = _modc_f(t * np.int32(inv_c), 52226 * 30720, P2c)
+        x2c, _ = _modc_f(t * np.int32(inv_c), CRT_T_BOUND, P2c)
         v0u, x2u = v0.astype(jnp.uint32), x2c.astype(jnp.uint32)
         for jout in range(kp1):
             sv = sx = None

@@ -53,6 +53,42 @@ def test_fused32_exact_matches_oracle(B):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused32_halves_interpret_matches_oracle_and_stage_major():
+    """GENUINELY exercise halves=True (the production default schedule):
+    B=128, b_tile=128 at N=256 gives C=2, so the wrapper does NOT clamp to
+    the stage-major fallback (blind_rotate_fused32 disables halves when
+    C % 2 != 0 — every other CI shape lands there).  Asserts bit-identity
+    against BOTH the stage-major kernel and the numpy oracle, so a
+    regression in the interleaved chain wiring fails CI rather than only
+    the opt-in on-TPU micro-bench cross-check."""
+    p = PARAM_TEST32_ZERO_NOISE
+    rng = np.random.default_rng(43)
+    sk, srv = ref.keygen(p, rng)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=True)
+
+    B, N, kp1 = 128, p.polynomial_size, p.glwe_dimension + 1
+    acc0 = _subgroup_acc(rng, (B, kp1, N))
+    lwe = np.zeros((B, p.lwe_dimension + 1), np.int32)
+    lwe[:, :-1] = rng.integers(0, 2 * N, size=(B, p.lwe_dimension))
+
+    want = np.stack([
+        ref.blind_rotate(acc0[i], lwe[i].astype(np.int64), srv)
+        for i in range(B)])
+
+    consts = pack_fused32_consts(N)
+    amounts = jnp.asarray(lwe[:, :p.lwe_dimension])
+    acc = torus.from_numpy(acc0)
+    kw = dict(n_poly=N, base_log=p.pbs_base_log, ell=p.pbs_level,
+              b_tile=128, interpret=True)
+    hi_h = blind_rotate_fused32(acc.hi, amounts, dev.bsk_ntt32, consts,
+                                halves=True, **kw)
+    hi_s = blind_rotate_fused32(acc.hi, amounts, dev.bsk_ntt32, consts,
+                                halves=False, **kw)
+    got = np.asarray(hi_h).astype(np.uint64) << np.uint64(32)
+    np.testing.assert_array_equal(np.asarray(hi_h), np.asarray(hi_s))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused32_approx_matches_plane_truncated_oracle():
     """approx=True drops kernel plane s'=0 == u64 limb plane 4, i.e. the
     numpy_ref.blind_rotate(min_shift=5) oracle. (Not used in production for

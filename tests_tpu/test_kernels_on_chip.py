@@ -234,3 +234,45 @@ def test_fused32_prod_shape_on_chip():
                               ell=p.pbs_level, b_tile=8, interpret=False)
     got = np.asarray(hi).astype(np.uint64) << np.uint64(32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused32_halves_prod_shape_on_chip():
+    """The SHIPPED production kernel configuration — halves=True interleaved
+    schedule at the prod tiling (N=2048, n2=16, C=2) — non-interpreted on
+    the chip, bit-exact vs the numpy oracle AND vs the stage-major kernel.
+    This is the committed-test-tier guard the round-4 verdict asked for:
+    CI shapes clamp C to 1 and silently fall back to stage-major, so only
+    this test (and bench.py's spot check) runs the interleaved Mosaic code
+    actually shipped at turbo (crypto/pbs.py halves default)."""
+    import dataclasses
+
+    from fhestring_tpu.params import PARAM_TURBO
+
+    p = dataclasses.replace(PARAM_TURBO, name="turbo_tier_h", lwe_dimension=4,
+                            lwe_noise_std=0.0, glwe_noise_std=0.0)
+    rng = np.random.default_rng(47)
+    sk, srv = ref.keygen(p, rng)
+    dev = dkeys.pack_server_keys(srv, with_ntt2=True)
+
+    B, N, kp1 = 16, p.polynomial_size, p.glwe_dimension + 1
+    acc0 = rng.integers(0, 1 << 32, size=(B, kp1, N),
+                        dtype=np.uint64) << np.uint64(32)
+    lwe = np.zeros((B, p.lwe_dimension + 1), np.int32)
+    lwe[:, :-1] = rng.integers(0, 2 * N, size=(B, p.lwe_dimension))
+
+    want = np.stack([
+        ref.blind_rotate(acc0[i], lwe[i].astype(np.int64), srv)
+        for i in range(B)])
+
+    consts = pack_fused32_consts(N)
+    amounts = jnp.asarray(lwe[:, :p.lwe_dimension])
+    acc = torus.from_numpy(acc0)
+    kw = dict(n_poly=N, base_log=p.pbs_base_log, ell=p.pbs_level,
+              b_tile=16, interpret=False)
+    hi_h = blind_rotate_fused32(acc.hi, amounts, dev.bsk_ntt32, consts,
+                                halves=True, **kw)
+    hi_s = blind_rotate_fused32(acc.hi, amounts, dev.bsk_ntt32, consts,
+                                halves=False, **kw)
+    np.testing.assert_array_equal(np.asarray(hi_h), np.asarray(hi_s))
+    got = np.asarray(hi_h).astype(np.uint64) << np.uint64(32)
+    np.testing.assert_array_equal(got, want)

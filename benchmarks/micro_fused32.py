@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--halves", action="store_true",
                     help="half-tile interleaved variant (also cross-checks "
                          "bit-identity vs the stage-major kernel)")
+    ap.add_argument("--ktwide", action="store_true",
+                    help="pre-broadcast khat rows to [(k2,b8), n1] (8x "
+                         "footprint, no in-kernel broadcast relayouts)")
     ap.add_argument("--ablate", default="",
                     help="comma-separated ablate strings to also sweep "
                          "(fwd, pw, inv, crt)")
@@ -57,8 +60,9 @@ def main():
                                       dtype=np.uint64).astype(np.uint32))
     amounts = jnp.asarray(rng.integers(0, 2 * N, (B, n_steps))
                           .astype(np.int32))
+    kh_rows = 128 if args.ktwide else N // 128
     khat = jnp.asarray(rng.integers(-20000, 20000,
-                                    (n_steps, 2, R, kp1, 4, N // 128, 128))
+                                    (n_steps, 2, R, kp1, 4, kh_rows, 128))
                        .astype(np.int16))
     consts = pack_fused32_consts(N)
 

@@ -53,6 +53,14 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--string", default="hello world")
     ap.add_argument("--pattern", default="ello")
+    ap.add_argument("--ops", nargs="*",
+                    default=["contains", "to_upper", "split"],
+                    help="ops to benchmark: contains (predicate), to_upper "
+                         "(rewrite), split (structured, vmapped engine)")
+    ap.add_argument("--socket", action="store_true",
+                    help="also measure the single-query end-to-end path "
+                         "through the real service.py socket boundary "
+                         "(serialize -> TCP -> evaluate -> serialize back)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +101,11 @@ def main():
 
     fence = jax.jit(lambda lo: lo.ravel()[::97].astype(jnp.uint32).sum())
 
+    # oracle expectations
+    from fhestring_tpu.utils import trim_str_vector
+    want_upper = text.upper()
+    want_split = text.split(pat_txt)
+
     for Q in args.queries:
         encs = [ck.encrypt(text, padding=1) for _ in range(Q)]
         pats = [ck.encrypt_no_padding(pat_txt) for _ in range(Q)]
@@ -101,43 +114,109 @@ def main():
         pb = Blocks(U64(jnp.stack([p.blocks.ct.lo for p in pats]),
                         jnp.stack([p.blocks.ct.hi for p in pats])), 3, 1.0)
 
-        metrics.reset()
-        with metrics.measure(f"contains_q{Q}",
-                             sync=lambda: np.asarray(fence(out_holder[0].ct.lo))
-                             if out_holder else None):
-            out_holder = [batched_contains(b, sb, pb, L, m)]
-        rec = metrics.last()
-        pbs_total = rec.pbs_items
+        for op in args.ops:
+            if op == "contains":
+                run = lambda: batched_contains(b, sb, pb, L, m)
+            elif op == "to_upper":
+                # rewrite op batched over the query axis: [Q, L] chars
+                run = lambda: b.to_upper(sb)
+            elif op == "split":
+                # structured op: vmap the 1-D engine split over the query
+                # axis — every PBS batch inside the scan and the post-pass
+                # becomes Q x wider (the dryrun_multichip stage-2 pattern)
+                def one(sq, pq):
+                    grid, found = server.engine._split(
+                        sq, pq, False, False, None)
+                    return grid, server.engine._bit_to_char(found)
+                vsplit = jax.vmap(one, in_axes=(0, 0))
+                run = lambda: vsplit(sb, pb)
+            else:
+                raise SystemExit(f"unknown op {op}")
 
-        t0 = time.time()
-        out = batched_contains(b, sb, pb, L, m)
-        np.asarray(fence(out.ct.lo))
-        warm0 = time.time() - t0
-        best = warm0
-        for _ in range(args.reps):
-            t0 = time.time()
-            out = batched_contains(b, sb, pb, L, m)
-            np.asarray(fence(out.ct.lo))
-            best = min(best, time.time() - t0)
+            metrics.reset()
+            with metrics.measure(f"{op}_q{Q}"):
+                out = run()
+                first = jax.tree.leaves(out)[0]
+                np.asarray(fence(first))
+            rec = metrics.last()
+            pbs_total = rec.pbs_items
+            if op == "split":
+                # metrics count trace-time batch widths; the vmapped engine
+                # executes every PBS batch Q x wider than traced
+                pbs_total *= Q
 
-        # correctness: every query decodes to the oracle bit
-        ones = b.trivial_chars(np.ones(Q, np.uint8))
-        chars = b.mul_bit(ones, out)
-        got = [ck.decrypt_char(_wrap_bit(chars, i)) for i in range(Q)]
-        ok = all(g == want for g in got)
+            best = 1e18
+            for _ in range(args.reps):
+                t0 = time.time()
+                out = run()
+                first = jax.tree.leaves(out)[0]
+                np.asarray(fence(first))
+                best = min(best, time.time() - t0)
 
-        print(json.dumps({
-            "metric": "serving_contains",
-            "params": params.name,
-            "queries": Q,
-            "string_len": L,
-            "pattern_len": m,
-            "pbs_per_query": pbs_total / Q,
-            "wall_s": round(best, 4),
-            "queries_per_s": round(Q / best, 2),
-            "achieved_pbs_per_s": round(pbs_total / best, 1),
-            "ok": ok,
-        }), flush=True)
+            # correctness: decode query 0 (and for contains, all queries)
+            if op == "contains":
+                ones = b.trivial_chars(np.ones(Q, np.uint8))
+                chars = b.mul_bit(ones, out)
+                got = [ck.decrypt_char(_wrap_bit(chars, i)) for i in range(Q)]
+                ok = all(g == want for g in got)
+            elif op == "to_upper":
+                ok = ck.decrypt(_wrap_string(out, 0)) == want_upper
+            else:
+                from fhestring_tpu.ciphertext import FheChar, FheSplit
+                grid, fchar = out
+                g0 = jax.tree.map(lambda x: x[0], grid)
+                f0 = jax.tree.map(lambda x: x[0], fchar)
+                parts, _ = ck.decrypt_split(FheSplit(g0, FheChar(f0)))
+                ok = trim_str_vector(parts) == trim_str_vector(want_split)
+
+            print(json.dumps({
+                "metric": f"serving_{op}",
+                "params": params.name,
+                "queries": Q,
+                "string_len": L,
+                "pattern_len": m,
+                "pbs_per_query": round(pbs_total / Q, 1),
+                "wall_s": round(best, 4),
+                "queries_per_s": round(Q / best, 2),
+                "achieved_pbs_per_s": round(pbs_total / best, 1),
+                "ok": bool(ok),
+            }), flush=True)
+
+    if args.socket:
+        # single-query end-to-end through the REAL process boundary:
+        # serialize -> TCP socket -> server evaluates -> serialize back.
+        from fhestring_tpu.service import FheStringServer, RemoteServerKey
+
+        fss = FheStringServer(server).start()
+        try:
+            remote = RemoteServerKey(fss.address)
+            s_enc = ck.encrypt(text, padding=1)
+            p_enc = ck.encrypt_no_padding(pat_txt)
+            for op, fn, check in (
+                ("contains", lambda: remote.contains(s_enc, p_enc),
+                 lambda r: ck.decrypt_char(r) == want),
+                ("to_upper", lambda: remote.to_upper(s_enc),
+                 lambda r: ck.decrypt(r) == want_upper),
+                ("split", lambda: remote.split(s_enc, p_enc),
+                 lambda r: trim_str_vector(ck.decrypt_split(r)[0])
+                 == trim_str_vector(want_split)),
+            ):
+                fn()  # warm (compile)
+                best = 1e18
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    res = fn()
+                    best = min(best, time.time() - t0)
+                print(json.dumps({
+                    "metric": f"serving_socket_{op}",
+                    "params": params.name,
+                    "queries": 1,
+                    "wall_s": round(best, 4),
+                    "queries_per_s": round(1 / best, 2),
+                    "ok": bool(check(res)),
+                }), flush=True)
+        finally:
+            fss.stop()
 
 
 def _wrap_bit(out, i):
@@ -146,6 +225,14 @@ def _wrap_bit(out, i):
     from fhestring_tpu.ciphertext import FheChar
 
     return FheChar(jax.tree.map(lambda x: x[i], out))
+
+
+def _wrap_string(out, i):
+    import jax
+
+    from fhestring_tpu.ciphertext import FheString
+
+    return FheString(jax.tree.map(lambda x: x[i], out))
 
 
 if __name__ == "__main__":

@@ -146,7 +146,7 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                     w1i_ref, wblki_ref, out_ref, acc_s, *scr,
                     n: int, bt: int, num_r: int, ell: int, kp1: int,
                     n_steps: int, base_log: int, s0: int, halves: bool,
-                    ablate: str = ""):
+                    kt_wide: bool = False, ablate: str = ""):
     n1, n2 = LANE, n // LANE
     nb = LANE // n2
     C = bt * n // (LANE * LANE)
@@ -273,8 +273,11 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                 acc = _Acc(p)
                 for i in range(num_r):
                     kh = khat_ref[0, pi, i, jout, s_pl].astype(jnp.int32)
-                    kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
-                    kt = kt.reshape(LANE, LANE)  # rows (k2, b8)
+                    if kt_wide:
+                        kt = kh                  # pre-broadcast [(k2,b8), k1]
+                    else:
+                        kt = jnp.broadcast_to(kh[:, None, :], (n2, nb, n1))
+                        kt = kt.reshape(LANE, LANE)  # rows (k2, b8)
                     acc.add(dhat_ref[i] * kt[None], pb)
                 u, ub = acc.fast()
                 uhats.append(u)                  # [nc, (k2,b8), k1]
@@ -418,6 +421,11 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
     assert khat.shape[0] == n_steps and khat.shape[1] == len(PRIMES2)
     num_r = khat.shape[2]
     assert num_r == kp1 * ell and khat.shape[4] == NUM_LB32
+    # khat rows: [n2, n1] compact (broadcast nb-wise in-kernel) or the
+    # pre-broadcast [(k2, b8) = LANE, n1] layout (keys.pack_bsk_ntt32
+    # wide=True): trades 8x khat HBM/VMEM footprint for zero per-use
+    # broadcast relayouts in the pointwise stage.
+    kt_wide = khat.shape[-2] == LANE and n // LANE != LANE
     assert base_log == 8, "32-bit kernel assumes single-int8-limb digits"
     # 0.49: headroom for the centered-Garner CRT's ~0.507*M2 candidate
     # bound (see _crt2_u32); the turbo shapes sit at 0.08*M2.
@@ -454,7 +462,8 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_fused32_kernel, n=n, bt=bt, num_r=num_r, ell=ell,
                           kp1=kp1, n_steps=n_steps, base_log=base_log,
-                          s0=s0, halves=halves, ablate=ablate),
+                          s0=s0, halves=halves, kt_wide=kt_wide,
+                          ablate=ablate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kp1, C, n1, LANE), lambda b, j: (0, b, 0, 0),

@@ -227,6 +227,23 @@ class ClearBackend:
         """Sum chars along axis when at most one is nonzero."""
         return chars.sum(axis=axis, dtype=np.int32).astype(np.uint8)
 
+    # -- linear (PBS-free in FHE) helpers for oblivious routing -------------
+    def char_bit(self, x, k: int):
+        """Bit k of a char value, as a bit tensor."""
+        return ((x >> k) & 1).astype(np.uint8)
+
+    def sub_exact(self, x, y):
+        """x - y, valid when y's value is <= x's blockwise (e.g. y = x*m)."""
+        return (x - y).astype(np.uint8)
+
+    sub_exact_bits = sub_exact
+
+    def add_nooverlap(self, x, y):
+        """x + y when at most one is nonzero per slot (no carries)."""
+        return (x + y).astype(np.uint8)
+
+    add_nooverlap_bits = add_nooverlap
+
 
 # =============================================================================
 # FHE backend
@@ -589,19 +606,10 @@ class FheBackend:
     def sum_bits(self, bits, axis):
         return self.rc.sum_bits(bits, axis)
 
-    def cumsum_bits(self, bits: Blocks, axis):
-        """Inclusive prefix count as chars, Hillis-Steele with radix adds."""
-        if axis < 0:
-            axis = len(bits.ct.lo.shape) - 1 + axis
-        # lift bits into chars (bit in block0, zeros elsewhere)
-        zero_shape = bits.ct.lo.shape[:-1]
-        zeros = self.trivial_chars(np.zeros(zero_shape, np.uint64))
-        from .. import torus
+    def _cumsum_chars(self, chars: Blocks, axis: int) -> Blocks:
+        """Inclusive prefix sum of chars, Hillis-Steele with radix adds
+        (7 PBS/position/stage). axis indexes the RAW ct tensor."""
         from ..torus import U64
-        bit_block = torus.reshape(bits.ct, bits.ct.lo.shape[:-1] + (1,) + bits.ct.lo.shape[-1:])
-        rest = U64(zeros.ct.lo[..., 1:, :], zeros.ct.hi[..., 1:, :])
-        chars = Blocks(torus.concatenate([bit_block, rest], axis=-2),
-                       bits.degree, bits.noise_var)
         n = chars.ct.lo.shape[axis]
         cur = chars
         shift = 1
@@ -615,6 +623,79 @@ class FheBackend:
             cur = self.rc.add_chars(cur, shifted)
             shift *= 2
         return cur
+
+    def cumsum_bits(self, bits: Blocks, axis):
+        """Inclusive prefix count of bits, as u8 chars.
+
+        Grouped carry-save scan, ~9.5 PBS/position instead of the naive
+        7*log2(L) radix Hillis-Steele: within groups of up to 15 positions
+        the inclusive prefixes are PURE LINEAR torus shift-adds (the sum
+        lives in one block's message+carry space, degree <= 15); ONE LUT
+        pair then extracts every in-group prefix to (mod 4, div 4) radix
+        blocks; only the G = ceil(L/g) group totals pay the full radix
+        Hillis-Steele, and a final radix add recombines base + in-group."""
+        from .. import torus
+        from ..torus import U64
+        sc = self.sc
+        nd = len(bits.ct.lo.shape)
+        if axis < 0:
+            axis = nd - 1 + axis
+        lo = jnp.moveaxis(bits.ct.lo, axis, -2)
+        hi = jnp.moveaxis(bits.ct.hi, axis, -2)
+        L = lo.shape[-2]
+        # group size: degree cap 15, shrunk if the bits are too noisy for
+        # the extraction LUT after g linear adds
+        g = max(2, min(15, int(sc.max_noise_var //
+                               max(bits.noise_var, 1e-9))))
+        G = -(-L // g)
+        pad = G * g - L
+        if pad:
+            z = jnp.zeros(lo.shape[:-2] + (pad,) + lo.shape[-1:], lo.dtype)
+            lo = jnp.concatenate([lo, z], axis=-2)
+            hi = jnp.concatenate([hi, z], axis=-2)
+        gs = lo.shape[:-2] + (G, g) + lo.shape[-1:]
+        cur = U64(lo.reshape(gs), hi.reshape(gs))
+        s = 1
+        while s < g:  # in-group inclusive prefix: linear, zero PBS
+            zlo = jnp.zeros_like(cur.lo[..., :s, :])
+            slo = jnp.concatenate([zlo, cur.lo[..., :-s, :]], axis=-2)
+            shi = jnp.concatenate([zlo, cur.hi[..., :-s, :]], axis=-2)
+            cur = torus.add(cur, U64(slo, shi))
+            s *= 2
+        pref = Blocks(cur, min(15, max(1, bits.degree) * g),
+                      bits.noise_var * g)
+        low = sc.apply_lut(pref, [v % 4 for v in range(16)])   # [.., G, g]
+        high = sc.apply_lut(pref, [v // 4 for v in range(16)])
+        zblk = sc.trivial(np.zeros(gs[:-1], np.uint64))
+        ingroup = self.rc.from_blocks([low, high, zblk, zblk])  # chars
+        if G > 1:
+            # group totals = in-group prefix at position g-1, as chars
+            tot_raw = U64(ingroup.ct.lo[..., g - 1, :, :],
+                          ingroup.ct.hi[..., g - 1, :, :])
+            tot = Blocks(tot_raw, ingroup.degree, ingroup.noise_var)
+            inc = self._cumsum_chars(tot, axis=tot_raw.lo.ndim - 3)
+            ax_g = inc.ct.lo.ndim - 3
+            zlo = jnp.zeros_like(inc.ct.lo[_sl(ax_g, 0, 1)])
+            base = Blocks(U64(
+                jnp.concatenate([zlo, inc.ct.lo[_sl(ax_g, None, -1)]],
+                                axis=ax_g),
+                jnp.concatenate([zlo, inc.ct.hi[_sl(ax_g, None, -1)]],
+                                axis=ax_g)), inc.degree, inc.noise_var)
+            bexp = Blocks(U64(
+                jnp.broadcast_to(base.ct.lo[..., :, None, :, :],
+                                 ingroup.ct.lo.shape),
+                jnp.broadcast_to(base.ct.hi[..., :, None, :, :],
+                                 ingroup.ct.hi.shape)),
+                base.degree, base.noise_var)
+            out = self.rc.add_chars(ingroup, bexp)
+        else:
+            out = ingroup
+        flat_shape = out.ct.lo.shape[:-4] + (G * g,) + out.ct.lo.shape[-2:]
+        olo = out.ct.lo.reshape(flat_shape)[..., :L, :, :]
+        ohi = out.ct.hi.reshape(flat_shape)[..., :L, :, :]
+        olo = jnp.moveaxis(olo, -3, axis)
+        ohi = jnp.moveaxis(ohi, -3, axis)
+        return Blocks(U64(olo, ohi), out.degree, out.noise_var)
 
     def weighted_onehot_sum(self, onehot: Blocks, weights, axis):
         """sum_i onehot_i * w_i via per-bitplane ORs (no noise blowup)."""
@@ -673,6 +754,33 @@ class FheBackend:
         if out.noise_var * 16 + 2 > self.sc.max_noise_var:
             out = self.sc.apply_lut(out, list(range(4)) * 4)
         return out
+
+    # -- linear (PBS-free) helpers for oblivious routing ---------------------
+    def char_bit(self, x: Blocks, k: int) -> Blocks:
+        """Bit k of a char value as an encrypted bit: ONE LUT on block k//2
+        (each 2-bit radix block holds bits 2j, 2j+1)."""
+        blk = self.rc.block(x, k // 2)
+        tab = [(v >> (k % 2)) & 1 if v < 4 else 0 for v in range(16)]
+        return self.sc.apply_lut(blk, tab)
+
+    def sub_exact(self, x: Blocks, y: Blocks) -> Blocks:
+        """x - y when y's blocks are each <= x's blocks (e.g. y = mul_bit(
+        x, m), so per-block the difference is x_b*(1-m) >= 0): pure torus
+        subtraction — zero PBS, noise adds."""
+        from .. import torus
+        return Blocks(torus.sub(x.ct, y.ct), x.degree,
+                      x.noise_var + y.noise_var)
+
+    sub_exact_bits = sub_exact
+
+    def add_nooverlap(self, x: Blocks, y: Blocks) -> Blocks:
+        """x + y when at most one operand is nonzero per slot (oblivious
+        routing invariant): pure torus add — zero PBS, no carries needed."""
+        from .. import torus
+        return Blocks(torus.add(x.ct, y.ct), max(x.degree, y.degree),
+                      x.noise_var + y.noise_var)
+
+    add_nooverlap_bits = add_nooverlap
 
 
 def _sl(axis, start, stop):

@@ -63,8 +63,19 @@ class StringEngine:
 
     def compact_zeros_right(self, s, axis=-1):
         """Stable move of all NUL chars to the right: value-identical to the
-        reference's bubble_zeroes_right (utils.rs:28-46) but O(L^2) batched
-        comparisons at O(log L) depth instead of O(L^2) sequential cmux.
+        reference's bubble_zeroes_right (utils.rs:28-46).
+
+        Butterfly (log-shift) routing, O(L log^2 L) PBS instead of the
+        O(L^2) one-hot scatter grid of rounds 1-4: each nonzero element's
+        final displacement is its exclusive prefix count of NULs; route all
+        elements LSB-first through ceil(log2 L) left-shift stages, moving an
+        element by 2^k at stage k iff bit k of its displacement is set. The
+        routing is collision-free: displacements are non-decreasing and grow
+        by at most (j - i - 1) between nonzeros i < j, so live positions
+        i - (off_i mod 2^{k+1}) stay strictly increasing at every stage.
+        Per stage the update is new = (cur - cur*m) + shift(cur*m): one
+        mul_bit batch plus pure torus add/sub (zero PBS), with the
+        not-yet-consumed displacement bits routed alongside as payload.
 
         Operates along the LAST axis and batches over any leading dims, so
         split post-passes compact all (len+1) buffers in one PBS batch."""
@@ -73,30 +84,37 @@ class StringEngine:
         assert axis in (-1, len(shape) - 1)
         L = shape[-1]
         batch = shape[:-1]
+        ax = len(batch)
         if L <= 1:
             return s
         nz = b.ne_zero(s)                            # [.., L]
-        rank = b.cumsum_bits(nz, len(shape) - 1)     # [.., L] inclusive
-        rank2 = b.reshape(rank, batch + (L, 1))
-        # Process the TARGET axis in blocks: the [.., L, L] one-hot grid's
-        # masked-value tensor is [.., L, L, NB, kN+1] — ~2.4 GB of device
-        # ciphertexts at L ~ 192 (repeat's buffer), which exhausted TPU HBM
-        # when materialized whole. Blocking the j axis caps the live grid
-        # at L*JB rows with identical PBS counts and semantics.
-        JB = L if int(np.prod(batch, dtype=np.int64)) * L * L <= 4096 \
-            else max(1, 4096 // L)
-        outs = []
-        for j0 in range(0, L, JB):
-            jb = min(JB, L - j0)
-            targets = b.trivial_chars(
-                np.arange(j0 + 1, j0 + jb + 1, dtype=np.uint8).reshape(
-                    (1,) * len(batch) + (1, jb)))
-            onehot = b.eq(rank2, targets)            # [.., L, jb]: rank_i==j+1
-            masked = b.and_(onehot, b.reshape_bits(nz, batch + (L, 1)))
-            vals = b.mul_bit(b.broadcast_to(b.reshape(s, batch + (L, 1)),
-                                            batch + (L, jb)), masked)
-            outs.append(b.sum_onehot_chars(vals, axis=len(batch)))
-        return outs[0] if len(outs) == 1 else b.concat(outs, axis=len(batch))
+        # Exclusive NUL-count == inclusive count at nonzero slots (their own
+        # NUL bit is 0); NUL slots get garbage offsets, harmless because
+        # their value AND payload bits are masked to 0 below, so they never
+        # move and never collide with a routed live element.
+        off = b.cumsum_bits(b.not_(nz), ax)          # [.., L] chars
+        nbits = max(1, (L - 1).bit_length())
+        bits = [b.and_(b.char_bit(off, k), nz) for k in range(nbits)]
+        cur = s
+        for k in range(nbits):
+            sh = 1 << k
+            if sh >= L:
+                break
+            m = bits[k]
+            moved = b.mul_bit(cur, m)                # 0 where m == 0
+            stay = b.sub_exact(cur, moved)           # cur * (1 - m), no PBS
+            arrived = b.concat([b.take(moved, np.arange(sh, L), axis=ax),
+                                b.zeros_chars(batch + (sh,))], axis=ax)
+            cur = b.add_nooverlap(stay, arrived)
+            for j in range(k + 1, nbits):            # route payload bits
+                mb = b.and_(bits[j], m)
+                stayb = b.sub_exact_bits(bits[j], mb)
+                arrb = b.concat([b.take(mb, np.arange(sh, L), axis=ax),
+                                 b.trivial_bits(np.zeros(batch + (sh,),
+                                                         np.uint64))],
+                                axis=ax)
+                bits[j] = b.add_nooverlap_bits(stayb, arrb)
+        return cur
 
     # ------------------------------------------------------------------
     # predicates (reference src/server_key/mod.rs)

@@ -6,7 +6,7 @@ vs_baseline is measured against the BASELINE.md target of 5,000 PBS/s/chip
 (the reference publishes no numbers of its own — BASELINE.md; its per-method
 wall-clock depends on the host CPU).
 
-Usage: python bench.py [--batch 1024] [--iters 3] [--params prod]
+Usage: python bench.py [--batch 2048] [--iters 3] [--params prod]
 """
 
 import argparse
@@ -54,7 +54,7 @@ def _gen_keys(params, seed, path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--params", default="turbo",
                     choices=["turbo", "prod", "test", "noisy"],

@@ -191,6 +191,131 @@ def ntt_fwd_poly_sharded(x, n_poly: int, prime: int, mesh: Mesh):
     return out.reshape(x.shape[:-1] + (n_poly,))
 
 
+def ntt_inv_poly_sharded(ahat, n_poly: int, prime: int, mesh: Mesh,
+                         g: int = 0):
+    """Inverse negacyclic NTT with the POLYNOMIAL axis sharded — the mirror
+    of ntt_fwd_poly_sharded, completing the distributed four-step pair:
+
+        stage A (dense contraction over k1, W1i) is LOCAL on each device's
+        k2 shard — exactly the shard layout ntt_fwd_poly_sharded's output
+        arrives in, so a fwd -> pointwise -> inv pipeline reshards only at
+        the two butterfly boundaries; an all_to_all reswizzles the sharded
+        axis from k2 to j1; stage B (block contraction over k2 with
+        untwist + 1/N + 256^{-3g} folded, Mi[j1]) is LOCAL on each
+        device's j1 shard.
+
+    Bit-identical to ntt2.neg_inv(ahat, make_neg_plan(prime, n_poly), g)
+    (tests/test_parallel.py). ahat: centered int32 [..., N] twisted hats
+    (flat h = k2*n1 + k1); returns centered int32 coefficients [..., N].
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from .crypto import ntt2
+    from .crypto.kernels.ntt_ext import _horner4, _split2
+
+    plan = ntt2.make_neg_plan(prime, n_poly)
+    n1, n2 = plan.n1, plan.n2
+    nd = mesh.devices.size
+    assert n2 % nd == 0 and n1 % nd == 0, (n1, n2, nd)
+
+    def limbs(m):
+        m = np.asarray(m, np.int64)
+        l0 = ((m + 128) % 256) - 128
+        l1 = (m - l0) // 256
+        return (jnp.asarray(l0, jnp.int8), jnp.asarray(l1, jnp.int8))
+
+    w1i0, w1i1 = limbs(plan.w1i.T)      # [n1(k1), n1(j1)]
+    mi0, mi1 = limbs(plan.mi[g])        # [n1(j1), n2(k2), n2(j2)]
+
+    def inside(cl, mi0l, mi1l):
+        # cl [..., k2_loc, n1(k1)] — local k2 shard (fwd-output layout)
+        # stage A (local, dense): q[k2, j1] = sum_k1 c[k2, k1] W1i[k1, j1]
+        z0, z1 = _split2(cl)
+        d8 = partial(jnp.einsum, "...kj,jK->...kK",
+                     preferred_element_type=jnp.int32)
+        q, _ = _horner4(d8(z0, w1i0), d8(z0, w1i1), d8(z1, w1i0),
+                        d8(z1, w1i1), prime, exact=True)
+        # butterfly-stage all_to_all: reshard k2 -> j1
+        # local [.., k2_loc, n1(j1)] -> [.., n2(k2), n1_loc(j1)]
+        q = jax.lax.all_to_all(q, POLY_AXIS, split_axis=q.ndim - 1,
+                               concat_axis=q.ndim - 2, tiled=True)
+        qt = jnp.swapaxes(q, -1, -2)     # [.., j1_loc, n2(k2)]
+        # stage B (local, per-j1 block): out[j1, j2] = sum_k2 qt[j1, k2]
+        #                                             Mi[j1][k2, j2]
+        z0, z1 = _split2(qt)
+        e8 = partial(jnp.einsum, "...ij,ijk->...ik",
+                     preferred_element_type=jnp.int32)
+        out, _ = _horner4(e8(z0, mi0l), e8(z0, mi1l), e8(z1, mi0l),
+                          e8(z1, mi1l), prime, exact=True)
+        return out                       # [.., j1_loc, n2(j2)]
+
+    c = ahat.reshape(ahat.shape[:-1] + (n2, n1))
+    spec_in = P(*([None] * (c.ndim - 2) + [POLY_AXIS, None]))
+    out = shard_map(
+        inside, mesh=mesh,
+        in_specs=(spec_in, P(POLY_AXIS, None, None), P(POLY_AXIS, None, None)),
+        out_specs=P(*([None] * (c.ndim - 2) + [POLY_AXIS, None])),
+        check_vma=False,
+    )(c, mi0, mi1)
+    # [.., j1, j2] -> natural coefficient order t = j1 + n1*j2
+    out = jnp.swapaxes(out, -1, -2)
+    return out.reshape(ahat.shape[:-1] + (n_poly,))
+
+
+def ext_group_poly_sharded(digits, khat_prime, n_poly: int, prime: int,
+                           mesh: Mesh, g: int = 0):
+    """One external-product plane group mod one prime with the POLYNOMIAL
+    axis sharded end-to-end — the butterfly transforms WIRED INTO the
+    external product (SURVEY 2.4 item 3, the round-3/4 verdicts' open
+    half):
+
+        forward butterflies (all_to_all #1) -> per-frequency pointwise
+        multiply-accumulate over the decomposition rows (LOCAL on the k2
+        shards: the hats of every row live on the same frequency shard, so
+        the contraction over rows needs NO communication) -> inverse
+        butterflies (all_to_all #2).
+
+    The remaining external-product steps (CRT across primes, 256^{3g}
+    shift-plane recombine, accumulator add — see kernels/ntt_ext.py) are
+    ELEMENTWISE in the coefficient domain and therefore shard-local by
+    construction; this function is the complete communicating core.
+
+    digits: int32 [R, ..., N] centered gadget digits (|.| <= 127), one per
+        decomposition row; khat_prime: centered int [R, ..., N] NTT-domain
+        key hats mod `prime` for the same rows (ntt2.key_hats2 layout).
+    Returns centered int32 [..., N]: coefficients of
+        sigma_g * sum_i digits_i (x) key_i, bit-identical to the numpy
+        composition neg_inv(sum_i center(neg_fwd(d_i) * khat_i)).
+    """
+    import jax.numpy as jnp
+
+    from .crypto import ntt2
+    from .crypto.kernels.ntt_ext import _modc
+
+    R = digits.shape[0]
+    half = (prime - 1) // 2
+    acc, bound = None, 0
+    for i in range(R):
+        hat = ntt_fwd_poly_sharded(digits[i], n_poly, prime, mesh)
+        kh = jnp.asarray(np.asarray(khat_prime[i]), jnp.int32)
+        term = _modc(hat * kh, half * half, prime)  # |h*k| <= p^2/4 < 2^31
+        if acc is None:
+            acc, bound = term, half
+        else:
+            acc, bound = acc + term, bound + half
+            if bound + half > (1 << 30):
+                acc, bound = _modc(acc, bound, prime), half
+    acc = _modc(acc, bound, prime)
+    return ntt_inv_poly_sharded(acc, n_poly, prime, mesh, g=g)
+
+
 # ---------------------------------------------------------------------------
 # Key-sharded PBS (tensor parallelism over the key axes)
 # ---------------------------------------------------------------------------

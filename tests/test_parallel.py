@@ -121,3 +121,74 @@ def test_ntt_fwd_poly_sharded_bit_identical():
 
     got = np.asarray(parallel.ntt_fwd_poly_sharded(x, N, prime, mesh))
     np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_ntt_inv_poly_sharded_bit_identical():
+    """Inverse butterfly-stage all-to-all NTT: dense stage local on the k2
+    shards (the fwd output layout), all_to_all, block stage local on the
+    j1 shards — bit-identical to ntt2.neg_inv, incl. a fwd->inv round trip
+    recovering the input polynomials."""
+    import jax
+    import numpy as np
+
+    from fhestring_tpu import parallel
+    from fhestring_tpu.crypto import ntt2
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = parallel.make_poly_mesh(n_dev)
+    N, prime = 2048, ntt2.PRIMES3[1]  # 40961
+    plan = ntt2.make_neg_plan(prime, N)
+
+    rng = np.random.default_rng(1)
+    ahat = rng.integers(-(prime // 2), prime // 2 + 1,
+                        size=(3, N)).astype(np.int32)
+    want = ntt2.neg_inv(ahat.astype(np.int64), plan)
+    got = np.asarray(parallel.ntt_inv_poly_sharded(ahat, N, prime, mesh))
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+
+    # round trip: inv(fwd(x)) == x * 1 (sigma_0 folds 1/N)
+    x = rng.integers(-127, 128, size=(2, N)).astype(np.int32)
+    hat = parallel.ntt_fwd_poly_sharded(x, N, prime, mesh)
+    back = np.asarray(parallel.ntt_inv_poly_sharded(
+        np.asarray(hat), N, prime, mesh))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_ext_group_poly_sharded_bit_identical():
+    """The butterfly all-to-all transforms WIRED INTO the external product:
+    fwd (all_to_all) -> frequency-local pointwise accumulate over the
+    decomposition rows -> inv (all_to_all), bit-identical to the numpy
+    composition sum_i neg_inv(center(neg_fwd(d_i) * khat_i))."""
+    import jax
+    import numpy as np
+
+    from fhestring_tpu import parallel
+    from fhestring_tpu.crypto import ntt2
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = parallel.make_poly_mesh(n_dev)
+    N, prime = 2048, ntt2.PRIMES3[0]  # 12289... (use a supported prime)
+    if (prime - 1) % (2 * N) != 0:
+        prime = ntt2.PRIMES3[1]
+    plan = ntt2.make_neg_plan(prime, N)
+
+    rng = np.random.default_rng(2)
+    R, B = 4, 2
+    digits = rng.integers(-127, 128, size=(R, B, N)).astype(np.int32)
+    key = rng.integers(-127, 128, size=(R, N)).astype(np.int64)
+    khat = np.stack([ntt2.neg_fwd(key[i], plan) for i in range(R)])
+
+    def center(v):
+        v = np.mod(v, prime)
+        return v - np.where(v > prime // 2, prime, 0)
+
+    acc = np.zeros((B, N), np.int64)
+    for i in range(R):
+        h = ntt2.neg_fwd(digits[i].astype(np.int64), plan)
+        acc = center(acc + center(h * khat[i][None]))
+    want = ntt2.neg_inv(acc, plan)
+
+    got = np.asarray(parallel.ext_group_poly_sharded(
+        digits, np.broadcast_to(khat[:, None], (R, B, N)).astype(np.int32),
+        N, prime, mesh))
+    np.testing.assert_array_equal(got, want.astype(np.int32))

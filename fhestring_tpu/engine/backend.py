@@ -232,6 +232,11 @@ class ClearBackend:
         """Bit k of a char value, as a bit tensor."""
         return ((x >> k) & 1).astype(np.uint8)
 
+    def char_bits(self, x, nbits: int):
+        """Bits 0..nbits-1 of a char value, stacked on a new leading axis."""
+        ks = np.arange(nbits).reshape((nbits,) + (1,) * x.ndim)
+        return ((x[None] >> ks) & 1).astype(np.uint8)
+
     def sub_exact(self, x, y):
         """x - y, valid when y's value is <= x's blockwise (e.g. y = x*m)."""
         return (x - y).astype(np.uint8)
@@ -762,6 +767,23 @@ class FheBackend:
         blk = self.rc.block(x, k // 2)
         tab = [(v >> (k % 2)) & 1 if v < 4 else 0 for v in range(16)]
         return self.sc.apply_lut(blk, tab)
+
+    def char_bits(self, x: Blocks, nbits: int) -> Blocks:
+        """Bits 0..nbits-1 stacked on a new leading axis, in ONE PBS batch:
+        gather each bit's source block, then a multi-table LUT selecting
+        the even/odd bit table per plane."""
+        from .. import torus
+        blks = [self.rc.block(x, k // 2) for k in range(nbits)]
+        stacked = Blocks(torus.stack([b.ct for b in blks], axis=0),
+                         max(b.degree for b in blks),
+                         max(b.noise_var for b in blks))
+        tabs = ([(v & 1) if v < 4 else 0 for v in range(16)],
+                [((v >> 1) & 1) if v < 4 else 0 for v in range(16)])
+        idx = jnp.broadcast_to(
+            jnp.arange(nbits, dtype=jnp.int32).reshape(
+                (nbits,) + (1,) * (stacked.ct.lo.ndim - 2)) % 2,
+            stacked.ct.lo.shape[:-1])
+        return self.sc.apply_lut_multi(stacked, tabs, idx)
 
     def sub_exact(self, x: Blocks, y: Blocks) -> Blocks:
         """x - y when y's blocks are each <= x's blocks (e.g. y = mul_bit(

@@ -94,26 +94,32 @@ class StringEngine:
         # move and never collide with a routed live element.
         off = b.cumsum_bits(b.not_(nz), ax)          # [.., L] chars
         nbits = max(1, (L - 1).bit_length())
-        bits = [b.and_(b.char_bit(off, k), nz) for k in range(nbits)]
+        # All displacement bits extracted in ONE PBS batch and masked to the
+        # live elements in one more; `pay` keeps the not-yet-consumed bits
+        # stacked on a leading axis so each stage routes them in ONE batch
+        # (latency: warm per-method wall time is batch-COUNT-bound).
+        pay = b.and_(b.char_bits(off, nbits), nz)    # [nbits, .., L]
         cur = s
         for k in range(nbits):
             sh = 1 << k
             if sh >= L:
                 break
-            m = bits[k]
+            m = b.take(pay, 0, axis=0)               # bit k, [.., L]
             moved = b.mul_bit(cur, m)                # 0 where m == 0
             stay = b.sub_exact(cur, moved)           # cur * (1 - m), no PBS
             arrived = b.concat([b.take(moved, np.arange(sh, L), axis=ax),
                                 b.zeros_chars(batch + (sh,))], axis=ax)
             cur = b.add_nooverlap(stay, arrived)
-            for j in range(k + 1, nbits):            # route payload bits
-                mb = b.and_(bits[j], m)
-                stayb = b.sub_exact_bits(bits[j], mb)
-                arrb = b.concat([b.take(mb, np.arange(sh, L), axis=ax),
-                                 b.trivial_bits(np.zeros(batch + (sh,),
-                                                         np.uint64))],
-                                axis=ax)
-                bits[j] = b.add_nooverlap_bits(stayb, arrb)
+            if k + 1 < nbits:                        # route remaining bits
+                rest = b.take(pay, np.arange(1, nbits - k), axis=0)
+                mb = b.and_(rest, m)                 # one batch for all
+                stayb = b.sub_exact_bits(rest, mb)
+                arrb = b.concat(
+                    [b.take(mb, np.arange(sh, L), axis=ax + 1),
+                     b.trivial_bits(np.zeros((nbits - k - 1,) + batch
+                                             + (sh,), np.uint64))],
+                    axis=ax + 1)
+                pay = b.add_nooverlap_bits(stayb, arrb)
         return cur
 
     # ------------------------------------------------------------------

@@ -192,7 +192,7 @@ def main():
             remote = RemoteServerKey(fss.address)
             s_enc = ck.encrypt(text, padding=1)
             p_enc = ck.encrypt_no_padding(pat_txt)
-            for op, fn, check in (
+            socket_ops = [
                 ("contains", lambda: remote.contains(s_enc, p_enc),
                  lambda r: ck.decrypt_char(r) == want),
                 ("to_upper", lambda: remote.to_upper(s_enc),
@@ -200,7 +200,8 @@ def main():
                 ("split", lambda: remote.split(s_enc, p_enc),
                  lambda r: trim_str_vector(ck.decrypt_split(r)[0])
                  == trim_str_vector(want_split)),
-            ):
+            ]
+            for op, fn, check in [t for t in socket_ops if t[0] in args.ops]:
                 fn()  # warm (compile)
                 best = 1e18
                 for _ in range(args.reps):

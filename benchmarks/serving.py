@@ -3,7 +3,7 @@
 
 The headline bench (bench.py) measures raw batched-PBS throughput at
 B = 1024, but a SINGLE query's per-op PBS batches are small (8-194 wide,
-benchmarks/methods_prod.json) so a one-query-at-a-time server idles the
+benchmarks/methods_turbo_r5b.jsonl) so a one-query-at-a-time server idles the
 chip. The TPU-native serving answer is query batching: Q concurrent
 queries' PBS work flattens into one wide batch (query x window x pattern x
 block), so per-op batch width scales with Q and the chip approaches its
@@ -145,7 +145,7 @@ def main():
                 # executes every PBS batch Q x wider than traced
                 pbs_total *= Q
 
-            best = 1e18
+            best = rec.seconds  # seed from the measured first run (reps=0 ok)
             for _ in range(args.reps):
                 t0 = time.time()
                 out = run()
@@ -202,8 +202,9 @@ def main():
                  == trim_str_vector(want_split)),
             ]
             for op, fn, check in [t for t in socket_ops if t[0] in args.ops]:
-                fn()  # warm (compile)
-                best = 1e18
+                t0 = time.time()
+                res = fn()  # warm (compile)
+                best = time.time() - t0
                 for _ in range(args.reps):
                     t0 = time.time()
                     res = fn()

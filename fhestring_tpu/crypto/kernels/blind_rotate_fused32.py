@@ -300,7 +300,7 @@ def _fused32_kernel(acc0_ref, amt_ref, khat_ref, wblkf_ref, w1f_ref,
                              (1 << 21) + (tb << 8), p)
             work_ref[:, rows, :] = qv.reshape(kp1 * NS * nc, nb, LANE)
         qt = jnp.swapaxes(work_ref[...], 1, 2)   # rows j1, lanes (k2,b8)
-        # Near-centered (|.| <= 0.51p) is all _crt2_u32 needs — skip the
+        # Near-centered (|.| <= 0.51p) is all the centered-Garner CRT in crt_accum needs — skip the
         # exact-centering select pass of exact=True on this largest tensor.
         res, _ = _stage_dots(
             qt.reshape(kp1 * NS * nc * LANE, LANE),
@@ -421,14 +421,17 @@ def blind_rotate_fused32(acc_hi: jnp.ndarray, amounts: jnp.ndarray,
     assert khat.shape[0] == n_steps and khat.shape[1] == len(PRIMES2)
     num_r = khat.shape[2]
     assert num_r == kp1 * ell and khat.shape[4] == NUM_LB32
-    # khat rows: [n2, n1] compact (broadcast nb-wise in-kernel) or the
-    # pre-broadcast [(k2, b8) = LANE, n1] layout (keys.pack_bsk_ntt32
-    # wide=True): trades 8x khat HBM/VMEM footprint for zero per-use
-    # broadcast relayouts in the pointwise stage.
+    # khat rows: [n2, n1] compact (broadcast nb-wise in-kernel; the
+    # production layout keys.pack_bsk_ntt32 emits) or the pre-broadcast
+    # [(k2, b8) = LANE, n1] layout (np.repeat(khat, nb, axis=-2); producer:
+    # benchmarks/micro_fused32.py --ktwide): trades 8x khat HBM/VMEM
+    # footprint for zero per-use broadcast relayouts in the pointwise
+    # stage — measured +2% on v5e, NOT the production default.
+    assert khat.shape[-2] in (n // LANE, LANE), khat.shape
     kt_wide = khat.shape[-2] == LANE and n // LANE != LANE
     assert base_log == 8, "32-bit kernel assumes single-int8-limb digits"
     # 0.49: headroom for the centered-Garner CRT's ~0.507*M2 candidate
-    # bound (see _crt2_u32); the turbo shapes sit at 0.08*M2.
+    # bound (see crt_accum's centered-Garner note); the turbo shapes sit at 0.08*M2.
     assert max_plane_value(num_r, n) < int(0.49 * M2)
     n1, n2 = LANE, n // LANE
     nb = LANE // n2

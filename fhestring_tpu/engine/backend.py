@@ -645,13 +645,19 @@ class FheBackend:
         nd = len(bits.ct.lo.shape)
         if axis < 0:
             axis = nd - 1 + axis
+        # the in-group linear sums must stay in one block's value space
+        # (degree*g <= 15) AND inside the noise budget at the extraction
+        # LUT (noise*g <= budget); refresh noisy bits rather than flooring
+        # the group size below what those bounds allow
+        if bits.noise_var * 2 > sc.max_noise_var:
+            bits = sc.apply_lut(bits, list(range(16)))  # value-preserving
         lo = jnp.moveaxis(bits.ct.lo, axis, -2)
         hi = jnp.moveaxis(bits.ct.hi, axis, -2)
         L = lo.shape[-2]
-        # group size: degree cap 15, shrunk if the bits are too noisy for
-        # the extraction LUT after g linear adds
-        g = max(2, min(15, int(sc.max_noise_var //
-                               max(bits.noise_var, 1e-9))))
+        g = max(2, min(15 // max(bits.degree, 1),
+                       int(sc.max_noise_var //
+                           max(bits.noise_var, 1e-9))))
+        assert g * max(bits.degree, 1) <= 15, (g, bits.degree)
         G = -(-L // g)
         pad = G * g - L
         if pad:
@@ -669,8 +675,20 @@ class FheBackend:
             s *= 2
         pref = Blocks(cur, min(15, max(1, bits.degree) * g),
                       bits.noise_var * g)
-        low = sc.apply_lut(pref, [v % 4 for v in range(16)])   # [.., G, g]
-        high = sc.apply_lut(pref, [v // 4 for v in range(16)])
+        # ONE multi-table batch extracts both radix blocks (mod 4, div 4)
+        # of every in-group prefix — warm latency is dispatch-count-bound
+        pref2 = Blocks(torus.stack([pref.ct, pref.ct], axis=0),
+                       pref.degree, pref.noise_var)
+        idx = jnp.broadcast_to(
+            jnp.arange(2, dtype=jnp.int32).reshape(
+                (2,) + (1,) * (len(gs) - 1)), (2,) + gs[:-1])
+        both = sc.apply_lut_multi(
+            pref2, ([v % 4 for v in range(16)], [v // 4 for v in range(16)]),
+            idx)
+        low = Blocks(U64(both.ct.lo[0], both.ct.hi[0]),
+                     both.degree, both.noise_var)               # [.., G, g]
+        high = Blocks(U64(both.ct.lo[1], both.ct.hi[1]),
+                      both.degree, both.noise_var)
         zblk = sc.trivial(np.zeros(gs[:-1], np.uint64))
         ingroup = self.rc.from_blocks([low, high, zblk, zblk])  # chars
         if G > 1:

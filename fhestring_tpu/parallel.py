@@ -276,11 +276,13 @@ def ext_group_poly_sharded(digits, khat_prime, n_poly: int, prime: int,
     external product (SURVEY 2.4 item 3, the round-3/4 verdicts' open
     half):
 
-        forward butterflies (all_to_all #1) -> per-frequency pointwise
-        multiply-accumulate over the decomposition rows (LOCAL on the k2
-        shards: the hats of every row live on the same frequency shard, so
-        the contraction over rows needs NO communication) -> inverse
-        butterflies (all_to_all #2).
+        forward butterflies (one all_to_all per row transform; this
+        prototype invokes the forward shard_map once per decomposition
+        row — a production kernel would stack the rows into a single
+        call) -> per-frequency pointwise multiply-accumulate over the
+        decomposition rows (LOCAL on the k2 shards: the hats of every row
+        live on the same frequency shard, so the contraction over rows
+        needs NO communication) -> inverse butterflies (one all_to_all).
 
     The remaining external-product steps (CRT across primes, 256^{3g}
     shift-plane recombine, accumulator add — see kernels/ntt_ext.py) are
@@ -304,7 +306,7 @@ def ext_group_poly_sharded(digits, khat_prime, n_poly: int, prime: int,
     acc, bound = None, 0
     for i in range(R):
         hat = ntt_fwd_poly_sharded(digits[i], n_poly, prime, mesh)
-        kh = jnp.asarray(np.asarray(khat_prime[i]), jnp.int32)
+        kh = jnp.asarray(khat_prime[i], jnp.int32)
         term = _modc(hat * kh, half * half, prime)  # |h*k| <= p^2/4 < 2^31
         if acc is None:
             acc, bound = term, half
